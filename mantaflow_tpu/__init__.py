@@ -1,0 +1,26 @@
+"""mantaflow_tpu — a TPU-native fluid simulation framework.
+
+A from-scratch JAX/XLA/Pallas implementation of the capabilities of
+mantaflow (reference: zoharl3/mantaflow): Eulerian smoke/fire/liquid solvers
+on MAC grids, FLIP/APIC particle liquids, levelsets, preconditioned-CG /
+multigrid pressure projection, and a mantaflow-compatible Python scene API.
+
+Usage mirrors the reference's scene scripts:
+
+    from mantaflow_tpu import *
+    s = Solver(name='main', gridSize=vec3(64, 64, 64))
+    flags = s.create(FlagGrid); ...
+
+The functional core lives in ``mantaflow_tpu.core`` / ``.ops`` (pure
+jit-compiled functions over pytrees); fused whole-step pipelines live in
+``mantaflow_tpu.models``.
+"""
+
+from .scene.api import *  # noqa: F401,F403
+from .scene.api import (  # explicit re-exports for linters
+    Solver, FluidSolver, FlagGrid, RealGrid, IntGrid, Vec3Grid, MACGrid,
+    LevelsetGrid, Box, Sphere, Cylinder, Slope, NullShape, NoiseField,
+    Timings, vec3, vec3i, mantaMsg, setDebugLevel,
+)
+
+__version__ = "0.1.0"

@@ -1,0 +1,783 @@
+"""Mantaflow-style scene API.
+
+This is the equivalent of the reference's generated Python binding layer
+(``source/pwrapper/``, ``source/preprocessor/``): reference scenes written
+against ``from manta import *`` port line-by-line against
+``from mantaflow_tpu import *``. Objects here are thin imperative wrappers —
+a grid holds one jnp array and ops re-bind it — while all math lives in the
+pure functional core (``mantaflow_tpu.core`` / ``.ops``), which is what the
+fused ``models/`` pipelines jit directly.
+
+Design note: the reference needs ~2.7k LoC of C++ plus a code generator for
+this layer (SURVEY.md §2.4-2.5); with Python as the host language it is a
+plain module, as the survey's TPU mapping prescribes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import flags as fl
+from ..core import mac as macops
+from ..core import shapes as shp
+from ..core import solver as slv
+from ..core.domain import Domain
+from ..ops import advection as adv
+from ..ops import extforces as ext
+from ..ops import initops as ini
+from ..ops import pressure as prs
+from ..utils.noise import WaveletNoiseField
+
+# ---------------------------------------------------------------------------
+# module constants mirroring registry.cpp:395-420 + defines.py:25-60
+
+GUI = False
+CUDA = False
+TPU = True
+DOUBLEPRECISION = False
+
+FlagFluid = fl.TypeFluid
+FlagObstacle = fl.TypeObstacle
+FlagEmpty = fl.TypeEmpty
+FlagInflow = fl.TypeInflow
+FlagOutflow = fl.TypeOutflow
+FlagOpen = fl.TypeOpen
+FlagStick = fl.TypeStick
+FlagSurface = fl.TypeSurface
+
+PcNone = prs.PcNone
+PcMIC = prs.PcMIC
+PcMGDynamic = prs.PcMGDynamic
+PcMGStatic = prs.PcMGStatic
+
+IntEuler = 0
+IntRK2 = 1
+IntRK4 = 2
+
+
+class vec3(tuple):
+    """Mantaflow's Vec3 scripting type (pwrapper/pvec3.cpp behavior)."""
+
+    def __new__(cls, x, y=None, z=None):
+        if y is None:
+            y = z = x
+        return super().__new__(cls, (float(x), float(y), float(z)))
+
+    @property
+    def x(self):
+        return self[0]
+
+    @property
+    def y(self):
+        return self[1]
+
+    @property
+    def z(self):
+        return self[2]
+
+    def __mul__(self, o):
+        if isinstance(o, (tuple, list)):
+            return vec3(self[0] * o[0], self[1] * o[1], self[2] * o[2])
+        return vec3(self[0] * o, self[1] * o, self[2] * o)
+
+    __rmul__ = __mul__
+
+    def __add__(self, o):
+        if isinstance(o, (tuple, list)):
+            return vec3(self[0] + o[0], self[1] + o[1], self[2] + o[2])
+        return vec3(self[0] + o, self[1] + o, self[2] + o)
+
+    __radd__ = __add__
+
+    def __sub__(self, o):
+        if isinstance(o, (tuple, list)):
+            return vec3(self[0] - o[0], self[1] - o[1], self[2] - o[2])
+        return vec3(self[0] - o, self[1] - o, self[2] - o)
+
+    def __truediv__(self, o):
+        if isinstance(o, (tuple, list)):
+            return vec3(self[0] / o[0], self[1] / o[1], self[2] / o[2])
+        return vec3(self[0] / o, self[1] / o, self[2] / o)
+
+    def __neg__(self):
+        return vec3(-self[0], -self[1], -self[2])
+
+
+def vec3i(x, y=None, z=None):
+    if y is None:
+        y = z = x
+    return (int(x), int(y), int(z))
+
+
+def mantaMsg(msg, level: int = 1):
+    if level <= _debug_level[0]:
+        print(msg)
+
+
+_debug_level = [1]
+
+
+def setDebugLevel(level: int):
+    _debug_level[0] = int(level)
+
+
+# ---------------------------------------------------------------------------
+# grids
+
+class GridBase:
+    dtype = jnp.float32
+    channels = 0  # 0: scalar [z,y,x]; 3: (3,z,y,x)
+
+    def __init__(self, solver: "Solver", name: str = ""):
+        self.solver = solver
+        self.name = name
+        dom = solver.domain
+        shape = dom.shape if self.channels == 0 else (3,) + dom.shape
+        self.data = jnp.zeros(shape, dtype=self.dtype)
+
+    # -- mantaflow Grid<T> surface (grid.h:99-247) --------------------------
+    @property
+    def dom(self) -> Domain:
+        return self.solver.domain
+
+    def clear(self):
+        self.data = jnp.zeros_like(self.data)
+
+    def setConst(self, value):
+        if self.channels == 3:
+            v = jnp.broadcast_to(
+                jnp.asarray(value, self.dtype).reshape(3, 1, 1, 1), self.data.shape)
+            self.data = v
+        else:
+            self.data = jnp.full_like(self.data, value)
+
+    def copyFrom(self, other):
+        self.data = other.data
+
+    def add(self, other):
+        self.data = self.data + other.data
+
+    def sub(self, other):
+        self.data = self.data - other.data
+
+    def addConst(self, v):
+        self.data = self.data + v
+
+    def addScaled(self, other, factor):
+        self.data = self.data + factor * other.data
+
+    def mult(self, other):
+        self.data = self.data * other.data
+
+    def multConst(self, v):
+        self.data = self.data * v
+
+    def clamp(self, vmin, vmax):
+        self.data = jnp.clip(self.data, vmin, vmax)
+
+    def getMax(self):
+        return float(jnp.max(self.data))
+
+    def getMin(self):
+        return float(jnp.min(self.data))
+
+    def getMaxAbs(self):
+        if self.channels == 3:
+            return float(jnp.sqrt(jnp.max(
+                self.data[0] ** 2 + self.data[1] ** 2 + self.data[2] ** 2)))
+        return float(jnp.max(jnp.abs(self.data)))
+
+    def getL1(self, bnd: int = 0):
+        return float(jnp.sum(jnp.abs(self._interior(bnd))))
+
+    def getL2(self, bnd: int = 0):
+        return float(jnp.sqrt(jnp.sum(self._interior(bnd) ** 2)))
+
+    def _interior(self, bnd):
+        if bnd <= 0:
+            return self.data
+        from ..core.masks import interior_mask
+        m = interior_mask(self.dom, bnd)
+        if self.channels == 3:
+            m = m[None]
+        return jnp.where(m, self.data, 0.0)
+
+    def setBound(self, value, boundary_width: int = 1):
+        from ..core.masks import interior_mask
+        m = interior_mask(self.dom, boundary_width)
+        if self.channels == 3:
+            m = m[None]
+        self.data = jnp.where(m, self.data, value)
+
+    # numpy interop (numpyconvert.cpp equivalents)
+    def to_numpy(self):
+        return np.asarray(self.data)
+
+    def from_numpy(self, arr):
+        self.data = jnp.asarray(arr, dtype=self.dtype).reshape(self.data.shape)
+
+
+class RealGrid(GridBase):
+    dtype = jnp.float32
+
+
+class IntGrid(GridBase):
+    dtype = jnp.int32
+
+
+class Vec3Grid(GridBase):
+    dtype = jnp.float32
+    channels = 3
+
+
+class MACGrid(Vec3Grid):
+    def getCentered(self):
+        g = Vec3Grid(self.solver)
+        g.data = macops.get_centered(self.data)
+        return g
+
+
+class LevelsetGrid(RealGrid):
+    def __init__(self, solver, name: str = ""):
+        super().__init__(solver, name)
+        self.data = jnp.full(solver.domain.shape,
+                             self.invalidTimeValue(), dtype=self.dtype)
+
+    def invalidTimeValue(self):
+        # reference: FastMarch invalid value = 4.0 * max reinit time
+        return 1e10
+
+    def join(self, other):
+        self.data = jnp.minimum(self.data, other.data)
+
+    def subtract(self, other):
+        self.data = jnp.maximum(self.data, -other.data)
+
+    def initFromFlags(self, flags, ignore_walls: bool = False):
+        inside = fl.is_fluid(flags.data)
+        if ignore_walls:
+            inside = inside | fl.is_obstacle(flags.data)
+        self.data = jnp.where(inside, -0.5, 0.5)
+
+
+class FlagGrid(IntGrid):
+    def initDomain(self, boundaryWidth: int = 0, phiWalls=None,
+                   wall: str = "xXyYzZ", open: str = "      ",
+                   inflow: str = "      ", outflow: str = "      "):
+        self.data = fl.init_domain(self.dom, boundaryWidth, wall, open,
+                                   inflow, outflow)
+        if phiWalls is not None:
+            # obstacle SDF of the wall shells (InitMin/Max*Wall)
+            phiWalls.data = _wall_sdf(self.dom, boundaryWidth, wall)
+
+    def fillGrid(self, type: int = fl.TypeFluid):
+        self.data = fl.fill_grid(self.data, type)
+
+    def updateFromLevelset(self, levelset):
+        self.data = fl.update_from_levelset(self.data, levelset.data,
+                                            levelset.invalidTimeValue())
+
+    def countCells(self, flag: int, bnd: int = 0):
+        return int(fl.count_cells(self.data, flag, bnd, self.dom))
+
+
+def _wall_sdf(dom: Domain, bwidth: int, wall: str):
+    """SDF of the boundary walls (positive inside the domain), matching
+    InitMin/MaxXWall etc. (grid.cpp:760-796): distance to the inner face of
+    each wall present in `wall`."""
+    sz, sy, sx = dom.shape
+    big = 1e9
+    phi = jnp.full(dom.shape, big, dtype=jnp.float32)
+    x = jnp.arange(sx, dtype=jnp.float32).reshape(1, 1, sx) + 0.5
+    y = jnp.arange(sy, dtype=jnp.float32).reshape(1, sy, 1) + 0.5
+    z = jnp.arange(sz, dtype=jnp.float32).reshape(sz, 1, 1) + 0.5
+    w = bwidth + 1
+    if "x" in wall:
+        phi = jnp.minimum(phi, jnp.broadcast_to(x - w, dom.shape))
+    if "X" in wall:
+        phi = jnp.minimum(phi, jnp.broadcast_to(sx - w - x, dom.shape))
+    if "y" in wall:
+        phi = jnp.minimum(phi, jnp.broadcast_to(y - w, dom.shape))
+    if "Y" in wall:
+        phi = jnp.minimum(phi, jnp.broadcast_to(sy - w - y, dom.shape))
+    if dom.is3d:
+        if "z" in wall:
+            phi = jnp.minimum(phi, jnp.broadcast_to(z - w, dom.shape))
+        if "Z" in wall:
+            phi = jnp.minimum(phi, jnp.broadcast_to(sz - w - z, dom.shape))
+    return phi
+
+
+# ---------------------------------------------------------------------------
+# shapes (scene-facing wrappers around core.shapes)
+
+class _SceneShape:
+    core_cls = None
+
+    def __init__(self, solver: "Solver", **kw):
+        self.solver = solver
+        self.shape = self._make(**kw)
+
+    def _make(self, **kw):
+        raise NotImplementedError
+
+    def applyToGrid(self, grid: GridBase, value=None, respectFlags=None):
+        rf = respectFlags.data if respectFlags is not None else None
+        if value is None:
+            value = 1.0
+        if isinstance(grid, MACGrid):
+            grid.data = self.shape.apply_to_mac_grid(grid.data, value,
+                                                     self.solver.domain, rf)
+        else:
+            grid.data = self.shape.apply_to_grid(grid.data, value,
+                                                 self.solver.domain, rf)
+
+    def applyToGridSmooth(self, grid: GridBase, sigma: float = 1.0,
+                          shift: float = 0.0, value=1.0, respectFlags=None):
+        rf = respectFlags.data if respectFlags is not None else None
+        grid.data = self.shape.apply_to_grid_smooth(
+            grid.data, value, self.solver.domain, sigma, shift, rf)
+
+    def computeLevelset(self):
+        g = LevelsetGrid(self.solver)
+        g.data = self.shape.compute_levelset(self.solver.domain)
+        return g
+
+
+class Box(_SceneShape):
+    def _make(self, p0=None, p1=None, center=None, size=None):
+        return shp.Box(p0=p0, p1=p1, center=center, size=size,
+                       dim=self.solver.domain.dim)
+
+
+class Sphere(_SceneShape):
+    def _make(self, center, radius, scale=vec3(1, 1, 1)):
+        return shp.Sphere(center=center, radius=radius, scale=scale)
+
+
+class Cylinder(_SceneShape):
+    def _make(self, center, radius, z):
+        return shp.Cylinder(center=center, radius=radius, z=z)
+
+
+class Slope(_SceneShape):
+    def _make(self, anglexy, angleyz, origin, gs):
+        return shp.Slope(anglexy, angleyz, origin, gs)
+
+
+class NullShape(_SceneShape):
+    def _make(self):
+        return shp.NullShape()
+
+
+class NoiseField:
+    """Scene wrapper for WaveletNoiseField with mantaflow attribute names."""
+
+    def __init__(self, solver: "Solver", fixedSeed: int = -1,
+                 loadFromFile: bool = False):
+        self.solver = solver
+        self._n = WaveletNoiseField(solver.domain, fixedSeed, loadFromFile)
+
+    def _set(self, name, value):
+        object.__setattr__(self, name, value)
+
+    # mantaflow-style attribute spelling
+    posScale = property(lambda s: vec3(*s._n.pos_scale))
+    valScale = property(lambda s: s._n.val_scale)
+
+    def __setattr__(self, name, value):
+        mapping = {
+            "posScale": "pos_scale", "posOffset": "pos_offset",
+            "valScale": "val_scale", "valOffset": "val_offset",
+            "clamp": "clamp", "clampNeg": "clamp_neg",
+            "clampPos": "clamp_pos", "timeAnim": "time_anim",
+        }
+        if name in mapping:
+            if name in ("posScale", "posOffset"):
+                if not isinstance(value, (tuple, list)):
+                    value = (float(value),) * 3
+                value = tuple(float(v) for v in value)
+            setattr(self._n, mapping[name], value)
+        else:
+            object.__setattr__(self, name, value)
+
+
+# ---------------------------------------------------------------------------
+# solver
+
+class Solver:
+    """FluidSolver equivalent (scene-facing): grid-size/dt/frame state plus
+    the create() factory (fluidsolver.h:26-119)."""
+
+    def __init__(self, name: str = "solver", gridSize=(64, 64, 64),
+                 dim: int = 3, fourthDim: int = -1):
+        del fourthDim
+        gs = tuple(int(v) for v in gridSize)
+        if dim == 2:
+            gs = (gs[0], gs[1], 1)
+        self.name = name
+        self.domain = Domain(size=gs, dim=dim)
+        self.timestep = 1.0
+        self.frameLength = 1.0
+        self.cfl = 3.0
+        self.timestepMin = 0.0001
+        self.timestepMax = 1.0
+        self._time_per_frame = 0.0
+        self._lock_dt = False
+        self.timeTotal = 0.0
+        self.frame = 0
+        self._count = 0
+
+    # manta property names
+    @property
+    def dt(self):
+        return self.timestep
+
+    def getGridSize(self):
+        return vec3(*self.domain.size)
+
+    def is2D(self):
+        return self.domain.dim == 2
+
+    def is3D(self):
+        return self.domain.dim == 3
+
+    def create(self, cls, **kw):
+        name = kw.pop("name", "")
+        if issubclass(cls, GridBase):
+            g = cls(self, name=name)
+            return g
+        if issubclass(cls, (_SceneShape, NoiseField)):
+            return cls(self, **kw)
+        raise TypeError(f"Solver.create: unsupported class {cls}")
+
+    def step(self, frame: int = -1):
+        """fluidsolver.cpp:143-166."""
+        self._time_per_frame += self.timestep
+        self.timeTotal += self.timestep
+        self._count += 1
+        if self._time_per_frame + slv.VECTOR_EPSILON > self.frameLength:
+            self.frame += 1
+            self.timeTotal = float(self.frame) * self.frameLength
+            self._time_per_frame = 0.0
+            self._lock_dt = False
+        if frame >= 0:
+            self.frame = frame
+
+    def adaptTimestep(self, maxVel: float):
+        """fluidsolver.cpp:184-204."""
+        mvt = maxVel * self.timestep
+        if not self._lock_dt:
+            dt = max(min(self.timestep * (self.cfl / (mvt + 1e-5)),
+                         self.timestepMax), self.timestepMin)
+            if (self._time_per_frame + dt * 1.05) > self.frameLength:
+                dt = (self.frameLength - self._time_per_frame) + 1e-4
+            elif ((self._time_per_frame + dt + self.timestepMin)
+                  > self.frameLength
+                  or (self._time_per_frame + dt * 1.25) > self.frameLength):
+                dt = (self.frameLength - self._time_per_frame + 1e-4) * 0.5
+                self._lock_dt = True
+            self.timestep = dt
+        assert self.timestep > self.timestepMin / 2.0, "Invalid dt encountered!"
+
+    def printMemInfo(self):
+        pass
+
+
+FluidSolver = Solver
+
+
+class Timings:
+    """Per-op timing registry stub (source/timing.h). Under async XLA
+    dispatch per-op host timing is not meaningful; use jax.profiler traces.
+    Kept for scene compatibility."""
+
+    def display(self):
+        mantaMsg("Timings: use jax.profiler for accurate per-op TPU timing")
+
+    def saveMean(self, filename):
+        with open(filename, "w") as f:
+            f.write("# use jax.profiler traces for per-op TPU timing\n")
+
+
+# ---------------------------------------------------------------------------
+# jitted pure-op entry points (one compile per static config)
+
+@partial(jax.jit, static_argnames=("order", "strength", "orderSpace",
+                                   "clampMode", "orderTrace"))
+def _advect_real_jit(flags, vel, grid, dt, order, strength, orderSpace,
+                     clampMode, orderTrace):
+    return adv.advect_real(flags, vel, grid, dt, order, strength, orderSpace,
+                           clampMode, orderTrace)
+
+
+@partial(jax.jit, static_argnames=("order", "strength", "orderSpace",
+                                   "clampMode", "orderTrace"))
+def _advect_mac_jit(flags, vel, grid, dt, order, strength, orderSpace,
+                    clampMode, orderTrace):
+    return adv.advect_mac(flags, vel, grid, dt, order, strength, orderSpace,
+                          clampMode, orderTrace)
+
+
+def advectSemiLagrange(flags: FlagGrid, vel: MACGrid, grid: GridBase,
+                       order: int = 1, strength: float = 1.0,
+                       orderSpace: int = 1, openBounds: bool = False,
+                       boundaryWidth: int = -1, clampMode: int = 2,
+                       orderTrace: int = 1):
+    """plugin/advection.cpp:443 advectSemiLagrange."""
+    del openBounds, boundaryWidth  # deprecated in the reference too
+    dt = jnp.float32(grid.solver.timestep)
+    if isinstance(grid, MACGrid):
+        grid.data = _advect_mac_jit(flags.data, vel.data, grid.data, dt,
+                                    order, strength, orderSpace, clampMode,
+                                    orderTrace)
+    elif isinstance(grid, (RealGrid, LevelsetGrid)):
+        grid.data = _advect_real_jit(flags.data, vel.data, grid.data, dt,
+                                     order, strength, orderSpace, clampMode,
+                                     orderTrace)
+    else:
+        raise TypeError("advectSemiLagrange: unsupported grid type")
+
+
+@partial(jax.jit, static_argnames=("cgAccuracy", "gfClamp", "cgMaxIterFac",
+                                   "preconditioner", "enforceCompatibility",
+                                   "useL2Norm", "zeroPressureFixing",
+                                   "surfTens", "has_phi", "has_curv",
+                                   "has_fractions", "has_obvel", "has_pcc"))
+def _solve_pressure_jit(vel, flags, phi, perCellCorr, fractions, obvel, curv,
+                        cgAccuracy, gfClamp, cgMaxIterFac, preconditioner,
+                        enforceCompatibility, useL2Norm, zeroPressureFixing,
+                        surfTens, has_phi, has_curv, has_fractions, has_obvel,
+                        has_pcc):
+    from ..core.domain import domain_from_shape
+    dom = domain_from_shape(flags.shape)
+    return prs.solve_pressure(
+        vel, flags, dom, cgAccuracy,
+        phi if has_phi else None,
+        perCellCorr if has_pcc else None,
+        fractions if has_fractions else None,
+        obvel if has_obvel else None,
+        gfClamp, cgMaxIterFac, preconditioner, enforceCompatibility,
+        useL2Norm, zeroPressureFixing,
+        curv if has_curv else None, surfTens)
+
+
+def solvePressure(vel: MACGrid, pressure: RealGrid, flags: FlagGrid,
+                  cgAccuracy: float = 1e-3, phi=None, perCellCorr=None,
+                  fractions=None, obvel=None, gfClamp: float = 1e-4,
+                  cgMaxIterFac: float = 1.5, precondition: bool = True,
+                  preconditioner: int = PcMIC,
+                  enforceCompatibility: bool = False, useL2Norm: bool = False,
+                  zeroPressureFixing: bool = False, curv=None,
+                  surfTens: float = 0.0, retRhs: RealGrid | None = None):
+    """plugin/pressure.cpp:482 solvePressure."""
+    if not precondition:
+        preconditioner = PcNone
+    z = jnp.zeros_like(pressure.data)
+    zm = jnp.zeros_like(vel.data)
+    new_vel, p, rhs, iters, rn = _solve_pressure_jit(
+        vel.data, flags.data,
+        phi.data if phi is not None else z,
+        perCellCorr.data if perCellCorr is not None else z,
+        fractions.data if fractions is not None else zm,
+        obvel.data if obvel is not None else zm,
+        curv.data if curv is not None else z,
+        cgAccuracy, gfClamp, cgMaxIterFac, preconditioner,
+        enforceCompatibility, useL2Norm, zeroPressureFixing, surfTens,
+        phi is not None, curv is not None, fractions is not None,
+        obvel is not None, perCellCorr is not None)
+    vel.data = new_vel
+    pressure.data = p
+    if retRhs is not None:
+        retRhs.data = rhs
+    mantaMsg(f"FluidSolver::solvePressure done. Iterations:{int(iters)}, "
+             f"residual:{float(rn):g}", 2)
+
+
+def setWallBcs(flags: FlagGrid, vel: MACGrid, obvel=None, fractions=None,
+               phiObs=None, boundaryWidth: int = 0):
+    ob = obvel.data if obvel is not None else None
+    vel.data = ext.set_wall_bcs(flags.data, vel.data, flags.dom, ob)
+
+
+def addGravity(flags: FlagGrid, vel: MACGrid, gravity, exclude=None,
+               scale: bool = True):
+    vel.data = ext.add_gravity(flags.data, vel.data, tuple(gravity),
+                               flags.solver.timestep, flags.dom,
+                               exclude.data if exclude is not None else None,
+                               scale)
+
+
+def addGravityNoScale(flags: FlagGrid, vel: MACGrid, gravity, exclude=None):
+    addGravity(flags, vel, gravity, exclude, scale=False)
+
+
+def addBuoyancy(flags: FlagGrid, density: RealGrid, vel: MACGrid, gravity,
+                coefficient: float = 1.0, scale: bool = True):
+    vel.data = ext.add_buoyancy(flags.data, density.data, vel.data,
+                                tuple(gravity), flags.solver.timestep,
+                                flags.dom, coefficient, scale)
+
+
+def setOpenBound(flags: FlagGrid, bWidth: int, openBound: str = "",
+                 type: int = fl.TypeOutflow | fl.TypeEmpty):
+    flags.data = fl.set_open_bound(flags.data, flags.dom, bWidth, openBound,
+                                   type)
+
+
+def resetOutflow(flags: FlagGrid, phi=None, parts=None, real=None, index=None,
+                 indexSys=None):
+    new_flags, new_phi, new_real = ext.reset_outflow_grids(
+        flags.data, flags.dom,
+        phi.data if phi is not None else None,
+        real.data if real is not None else None)
+    flags.data = new_flags
+    if phi is not None:
+        phi.data = new_phi
+    if real is not None:
+        real.data = new_real
+    if parts is not None:
+        parts.kill_in_outflow(flags)
+
+
+def vorticityConfinement(vel: MACGrid, flags: FlagGrid, strength: float = 0.0,
+                         strengthCell=None):
+    sc = strengthCell.data if strengthCell is not None else None
+    vel.data = ext.vorticity_confinement(vel.data, flags.data, flags.dom,
+                                         strength, sc)
+
+
+def addForceField(flags: FlagGrid, vel: MACGrid, force: Vec3Grid, region=None,
+                  isMAC: bool = False):
+    vel.data = ext.apply_force_field(
+        flags.data, vel.data, force.data, flags.dom,
+        region.data if region is not None else None, True, isMAC)
+
+
+def setForceField(flags: FlagGrid, vel: MACGrid, force: Vec3Grid, region=None,
+                  isMAC: bool = False):
+    vel.data = ext.apply_force_field(
+        flags.data, vel.data, force.data, flags.dom,
+        region.data if region is not None else None, False, isMAC)
+
+
+def setInitialVelocity(flags: FlagGrid, vel: MACGrid, invel: Vec3Grid):
+    vel.data = ext.set_initial_velocity(flags.data, vel.data, invel.data,
+                                        flags.dom)
+
+
+def setInflowBcs(vel: MACGrid, dir: str, value):
+    vel.data = ext.set_inflow_bcs(vel.data, vel.dom, dir, tuple(value))
+
+
+def dissolveSmoke(flags: FlagGrid, density: RealGrid, heat=None, red=None,
+                  green=None, blue=None, speed: int = 5,
+                  logFalloff: bool = True):
+    d, h = ext.dissolve_smoke(flags.data, density.data, flags.dom,
+                              heat.data if heat is not None else None,
+                              speed, logFalloff)
+    density.data = d
+    if heat is not None:
+        heat.data = h
+
+
+def densityInflow(flags: FlagGrid, density: RealGrid, noise: NoiseField,
+                  shape, scale: float = 1.0, sigma: float = 0.0):
+    t = flags.solver.timeTotal * flags.dom.dx
+    density.data = ini.density_inflow(flags.data, density.data, noise._n,
+                                      shape.shape, flags.dom, scale, sigma,
+                                      time=t)
+
+
+def addNoise(flags: FlagGrid, density: RealGrid, noise: NoiseField, sdf=None,
+             scale: float = 1.0):
+    t = flags.solver.timeTotal * flags.dom.dx
+    density.data = ini.add_noise(flags.data, density.data, noise._n,
+                                 flags.dom,
+                                 sdf.data if sdf is not None else None,
+                                 scale, time=t)
+
+
+def applyEmission(flags: FlagGrid, target: RealGrid, source: RealGrid,
+                  emissionTexture=None, isAbsolute: bool = True):
+    target.data = ini.apply_emission(
+        flags.data, target.data, source.data, flags.dom,
+        emissionTexture.data if emissionTexture is not None else None,
+        isAbsolute)
+
+
+def blurRealGrid(source: RealGrid, target: RealGrid, sigma: float = 1.0):
+    target.data = ini.blur_real_grid(source.data, source.dom, sigma)
+
+
+def blurMacGrid(source: MACGrid, target: MACGrid, sigma: float = 1.0):
+    target.data = ini.blur_mac_grid(source.data, source.dom, sigma)
+
+
+def checkSymmetry(a: RealGrid, err=None, symmetrize: bool = False,
+                  axis: int = 0, bound: int = 0):
+    return float(ini.check_symmetry(a.data, a.dom, axis, bound))
+
+
+def getGridAvg(source: RealGrid, flags=None):
+    if flags is not None:
+        m = fl.is_fluid(flags.data)
+        s = jnp.sum(jnp.where(m, source.data, 0.0))
+        c = jnp.maximum(jnp.sum(m.astype(jnp.float32)), 1.0)
+        return float(s / c)
+    return float(jnp.mean(source.data))
+
+
+def gridMaxDiff(g1: GridBase, g2: GridBase):
+    """Max abs per-cell difference (grid.cpp:437), the golden-test metric."""
+    return float(jnp.max(jnp.abs(g1.data.astype(jnp.float32)
+                                 - g2.data.astype(jnp.float32))))
+
+
+def gridMaxDiffInt(g1, g2):
+    return gridMaxDiff(g1, g2)
+
+
+def gridMaxDiffVec3(g1, g2):
+    return gridMaxDiff(g1, g2)
+
+
+def copyMacToVec3(source: MACGrid, target: Vec3Grid):
+    target.data = source.data
+
+
+def copyVec3ToReal(source: Vec3Grid, targetX: RealGrid, targetY: RealGrid,
+                   targetZ: RealGrid):
+    targetX.data, targetY.data, targetZ.data = (source.data[0],
+                                                source.data[1],
+                                                source.data[2])
+
+
+def copyRealToVec3(sourceX: RealGrid, sourceY: RealGrid, sourceZ: RealGrid,
+                   target: Vec3Grid):
+    target.data = jnp.stack([sourceX.data, sourceY.data, sourceZ.data])
+
+
+def copyLevelsetToReal(source: LevelsetGrid, target: RealGrid):
+    target.data = source.data
+
+
+def getComponent(source: Vec3Grid, target: RealGrid, component: int):
+    target.data = source.data[component]
+
+
+def setComponent(source: RealGrid, target: Vec3Grid, component: int):
+    target.data = target.data.at[component].set(source.data)
+
+
+def printBuildInfo():
+    mantaMsg("mantaflow-tpu: JAX/XLA/Pallas build, platform="
+             + jax.default_backend())
+
+
+def assertNumpy():
+    pass
