@@ -1,0 +1,74 @@
+"""Benchmark: smoke sim steps/sec at 128^3 on one TPU chip.
+
+Mirrors the reference north-star config (BASELINE.md): 3D buoyant plume at
+128^3 with MacCormack advection, vorticity confinement, and CG pressure
+projection to 1e-3 — the same op sequence as scenes/simpleplume.py scaled up.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured steps/sec divided by the reference-CPU steps/sec
+recorded in BASELINE_CPU.json (written by tools/measure_reference.py after
+building the C++ reference); 0.0 until that baseline is measured.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+
+    from mantaflow_tpu.core.domain import Domain
+    from mantaflow_tpu.core.shapes import Sphere
+    from mantaflow_tpu.models import smoke
+
+    res = int(os.environ.get("BENCH_RES", "128"))
+    n_warm = 3
+    n_steps = int(os.environ.get("BENCH_STEPS", "20"))
+
+    dom = Domain(size=(res, res, res), dim=3)
+    params = smoke.SmokeParams(buoyancy=(0.0, -6e-4, 0.0),
+                               vorticity_confinement=0.1,
+                               cg_accuracy=1e-3)
+    src = Sphere(center=(res / 2.0, res * 0.1, res / 2.0), radius=res * 0.14)
+    state = smoke.make_smoke_state(dom, params, source_shape=src)
+
+    step = jax.jit(lambda s: smoke.smoke_step(s, dom, params))
+
+    def sync(s):
+        # device->host transfer: reliable sync even where block_until_ready
+        # is a no-op (experimental axon platform)
+        return float(s.density.sum())
+
+    for _ in range(n_warm):
+        state = step(state)
+    sync(state)
+
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state = step(state)
+    sync(state)
+    dt = time.perf_counter() - t0
+
+    steps_per_sec = n_steps / dt
+
+    baseline = 0.0
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BASELINE_CPU.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            baseline = json.load(f).get("smoke128_steps_per_sec", 0.0)
+
+    print(json.dumps({
+        "metric": f"smoke sim steps/sec @ {res}^3 (MacCormack+vconf+CG 1e-3)",
+        "value": round(steps_per_sec, 4),
+        "unit": "steps/sec",
+        "vs_baseline": round(steps_per_sec / baseline, 3) if baseline else 0.0,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""Device-mesh sharding for simulation state.
+
+The reference is shared-memory-only (SURVEY.md §2.16); the TPU-native
+equivalent of its threading layer is SPMD over a ``jax.sharding.Mesh``:
+grids shard along the z (and y) axes, stencil shifts lower to XLA collective
+permutes over ICI, and the CG dot products / max-norms become psums — all
+inserted by GSPMD from sharding annotations, no explicit communication code.
+
+A single device is the degenerate mesh, so the same step function serves
+1..N chips unchanged.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axis_names=("z", "y")) -> Mesh:
+    """Build a mesh over available devices, factored across the named axes
+    (z outermost). For n=8 and two axes this gives a 4x2 (z,y) mesh."""
+    devs = jax.devices()
+    if n_devices is None:
+        n_devices = len(devs)
+    devs = devs[:n_devices]
+    if len(axis_names) == 1:
+        shape = (n_devices,)
+    else:
+        # factor n into two axes, largest factor on z
+        a = int(np.floor(np.sqrt(n_devices)))
+        while n_devices % a:
+            a -= 1
+        shape = (n_devices // a, a)
+    arr = np.array(devs).reshape(shape)
+    return Mesh(arr, axis_names[:len(shape)])
+
+
+def scalar_grid_spec(mesh: Mesh) -> P:
+    """[z, y, x] grid: shard z (and y), keep x (lanes) replicated-contiguous."""
+    if len(mesh.axis_names) == 1:
+        return P("z", None, None)
+    return P("z", "y", None)
+
+
+def mac_grid_spec(mesh: Mesh) -> P:
+    if len(mesh.axis_names) == 1:
+        return P(None, "z", None, None)
+    return P(None, "z", "y", None)
+
+
+def shard_smoke_state(state, mesh: Mesh):
+    """Place a SmokeState's arrays on the mesh with grid shardings."""
+    gs = NamedSharding(mesh, scalar_grid_spec(mesh))
+    ms = NamedSharding(mesh, mac_grid_spec(mesh))
+    rep = NamedSharding(mesh, P())
+
+    def place(x):
+        if not hasattr(x, "ndim"):
+            return x
+        if x.ndim == 3:
+            return jax.device_put(x, gs)
+        if x.ndim == 4:
+            return jax.device_put(x, ms)
+        return jax.device_put(x, rep)
+
+    return jax.tree_util.tree_map(place, state)
+
+
+def pad_to_multiple(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m

@@ -1,7 +1,18 @@
 """Test configuration: force an 8-virtual-device CPU platform so sharding
-tests exercise multi-chip paths without TPU hardware."""
+tests exercise multi-chip paths without TPU hardware.
+
+The environment pins JAX_PLATFORMS to the TPU backend and a sitecustomize on
+PYTHONPATH may import jax before this file runs, so overriding the env var
+alone is not enough — override jax.config too (safe as long as no backend
+has been initialized yet).
+"""
 import os
 
-os.environ.setdefault("XLA_FLAGS",
-                      "--xla_force_host_platform_device_count=8")
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)

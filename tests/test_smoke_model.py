@@ -1,0 +1,105 @@
+"""Fused smoke model: jitted whole-step equivalence with the scene-API path,
+plus multi-device sharding on the virtual CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mantaflow_tpu.core.domain import Domain
+from mantaflow_tpu.core.shapes import Sphere
+from mantaflow_tpu.models import smoke
+from mantaflow_tpu.parallel import sharding as shd
+
+
+def _mk(res=16):
+    dom = Domain(size=(res, res, res), dim=3)
+    params = smoke.SmokeParams(buoyancy=(0.0, -6e-4, 0.0))
+    src = Sphere(center=(res / 2, res * 0.15, res / 2), radius=res * 0.15)
+    state = smoke.make_smoke_state(dom, params, source_shape=src)
+    return dom, params, state
+
+
+def test_fused_step_matches_scene_api():
+    """The fused smoke_step must produce the same fields as the imperative
+    scene-API op sequence it mirrors."""
+    from mantaflow_tpu import (Solver, FlagGrid, MACGrid, RealGrid, vec3,
+                               advectSemiLagrange, setWallBcs, addBuoyancy,
+                               solvePressure)
+
+    res = 16
+    dom, params, state = _mk(res)
+
+    s = Solver(name="x", gridSize=vec3(res, res, res))
+    s.timestep = 1.0
+    flags = s.create(FlagGrid)
+    vel = s.create(MACGrid)
+    density = s.create(RealGrid)
+    pressure = s.create(RealGrid)
+    flags.initDomain(boundaryWidth=1)
+    flags.fillGrid()
+    np.testing.assert_array_equal(np.asarray(flags.data),
+                                  np.asarray(state.flags))
+
+    # same initial emission
+    density.data = jnp.where(state.source > 0, 1.0, density.data)
+    st = state
+    for _ in range(3):
+        st = smoke.smoke_step(st, dom, params)
+        # scene path
+        advectSemiLagrange(flags=flags, vel=vel, grid=density, order=2)
+        advectSemiLagrange(flags=flags, vel=vel, grid=vel, order=2)
+        setWallBcs(flags=flags, vel=vel)
+        addBuoyancy(density=density, vel=vel, gravity=vec3(0, -6e-4, 0),
+                    flags=flags)
+        solvePressure(flags=flags, vel=vel, pressure=pressure,
+                      preconditioner=0)
+        density.data = jnp.where(state.source > 0, 1.0, density.data)
+        s.step()
+
+    # fused model emits at step start; align by emitting once more
+    st_density = jnp.where(state.source > 0, 1.0, st.density)
+    np.testing.assert_allclose(np.asarray(st_density),
+                               np.asarray(density.data), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(st.vel), np.asarray(vel.data),
+                               atol=2e-4)
+
+
+def test_smoke_run_scan():
+    dom, params, state = _mk(12)
+    out = smoke.smoke_run(state, dom, params, 5)
+    assert int(out.ts.count) == 5
+    assert np.isfinite(np.asarray(out.density)).all()
+    assert float(out.density.max()) > 0.1
+
+
+def test_sharded_step_matches_single_device():
+    """Same step, sharded over the 8-device CPU mesh vs single device."""
+    dom, params, state = _mk(16)
+    step = jax.jit(lambda s: smoke.smoke_step(s, dom, params))
+    ref = step(state)
+
+    mesh = shd.make_mesh(8)
+    sstate = shd.shard_smoke_state(state, mesh)
+    out_shardings = jax.tree_util.tree_map(
+        lambda x: x.sharding if hasattr(x, "sharding") else None, sstate)
+    sstep = jax.jit(lambda s: smoke.smoke_step(s, dom, params),
+                    out_shardings=out_shardings)
+    got = sstep(sstate)
+
+    np.testing.assert_allclose(np.asarray(got.density),
+                               np.asarray(ref.density), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.vel), np.asarray(ref.vel),
+                               atol=1e-5)
+
+
+def test_graft_entry():
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", os.path.join(os.path.dirname(__file__), "..",
+                                    "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    assert np.isfinite(np.asarray(out.density)).all()
+    mod.dryrun_multichip(8)
