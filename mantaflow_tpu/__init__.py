@@ -22,5 +22,11 @@ from .scene.api import (  # explicit re-exports for linters
     LevelsetGrid, Box, Sphere, Cylinder, Slope, NullShape, NoiseField,
     Timings, vec3, vec3i, mantaMsg, setDebugLevel,
 )
+from .scene.papi import *  # noqa: F401,F403
+from .scene.papi import (
+    BasicParticleSystem, ParticleIndexSystem, PdataReal, PdataInt, PdataVec3,
+)
+
+VecGrid = Vec3Grid  # manta alias (grid.h:252)
 
 __version__ = "0.1.0"

@@ -1,0 +1,475 @@
+"""FLIP: particle-grid transfers, fluid marking, particle level sets.
+
+Behavioral port of ``source/plugin/flip.cpp`` re-designed for TPU: the
+reference's serial per-particle scatter kernels (knMapLinearVec3ToMACGrid
+:619, marked ``single`` because they race otherwise) become vectorized
+scatter-adds over (8, N) corner/weight arrays — one XLA scatter per
+component; the cell-indexed neighbor searches (ComputeUnionLevelsetPindex
+:300) become bounded-window scatter-min/add, removing the
+ParticleIndexSystem sort entirely.
+
+Covered: mapPartsToMAC (:637), mapPartsToGrid[Vec3] (:682), mapGridToParts
+(:699), mapMACToParts (:717), flipVelocityUpdate (:738), markFluidCells
+(:166), unionParticleLevelset (:356), averagedParticleLevelset (:477),
+combineGridVel (:773), getLaplacian/getCurvature (:779), setPartType
+(ptsplugins.cpp:62), addForcePvel/eulerStep/updateVelocityFromDeltaPos
+(ptsplugins.cpp:26-59), markIsolatedFluidCell (grid.cpp:988-1011).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax.numpy as jnp
+
+from ..core import flags as fl
+from ..core.domain import Domain
+from ..core.interp import _axis_weights, interpol, interpol_mac
+from ..core.masks import interior_mask, shift
+from ..core.particles import Particles
+
+VECTOR_EPSILON = 1e-6
+
+
+# ---------------------------------------------------------------------------
+# scatter core
+
+def _corner_arrays(xi, yi, zi, s1, t1, f1, shape):
+    """(8,N) corner flat-indices and trilinear weights; upper indices clamp
+    (n==1 axes collapse as in interpol)."""
+    sz, sy, sx = shape
+    x1 = jnp.minimum(xi + 1, sx - 1)
+    y1 = jnp.minimum(yi + 1, sy - 1)
+    z1 = jnp.minimum(zi + 1, sz - 1)
+    s0, t0, f0 = 1.0 - s1, 1.0 - t1, 1.0 - f1
+    corners = [
+        (zi, yi, xi, f0 * t0 * s0), (zi, yi, x1, f0 * t0 * s1),
+        (zi, y1, xi, f0 * t1 * s0), (zi, y1, x1, f0 * t1 * s1),
+        (z1, yi, xi, f1 * t0 * s0), (z1, yi, x1, f1 * t0 * s1),
+        (z1, y1, xi, f1 * t1 * s0), (z1, y1, x1, f1 * t1 * s1),
+    ]
+    flat = jnp.stack([(z * sy + y) * sx + x for (z, y, x, _) in corners])
+    w = jnp.stack([w for (_, _, _, w) in corners])
+    return flat, w
+
+
+def _scatter_weighted(shape, flat, w, val):
+    """Accumulate (value*w, w) at flat indices; returns (acc, wsum) grids."""
+    n = shape[0] * shape[1] * shape[2]
+    acc = jnp.zeros((n,), jnp.float32).at[flat.reshape(-1)].add(
+        (w * val).reshape(-1))
+    wsum = jnp.zeros((n,), jnp.float32).at[flat.reshape(-1)].add(w.reshape(-1))
+    return acc.reshape(shape), wsum.reshape(shape)
+
+
+def _mac_axis_weights(parts_pos, shape, c: int):
+    """Per-component MAC weights: own axis unshifted (setInterpolMAC /
+    BUILD_INDEX_SHIFT semantics)."""
+    sz, sy, sx = shape
+    px, py, pz = parts_pos[:, 0], parts_pos[:, 1], parts_pos[:, 2]
+    xi, s1 = _axis_weights(px - (0.0 if c == 0 else 0.5), sx)
+    yi, t1 = _axis_weights(py - (0.0 if c == 1 else 0.5), sy)
+    zi, f1 = _axis_weights(pz - (0.0 if c == 2 else 0.5), sz)
+    return xi, yi, zi, s1, t1, f1
+
+
+# ---------------------------------------------------------------------------
+# p2g / g2p
+
+def map_parts_to_mac(parts: Particles, pvel, flags, dom: Domain, ptype=None,
+                     exclude: int = 0):
+    """mapPartsToMAC (flip.cpp:637-662): weighted scatter of particle
+    velocities to faces, then safe divide. Returns (vel, weight)."""
+    active = parts.active_mask()
+    if ptype is not None:
+        active = active & ((ptype & exclude) == 0)
+    af = active.astype(jnp.float32)
+    n_comp = 3 if dom.is3d else 2
+    vels, weights = [], []
+    for c in range(3):
+        if c >= n_comp and not dom.is3d and c == 2:
+            # z component still scattered in the reference (values are 0);
+            # skip the work, keep zero grids
+            vels.append(jnp.zeros(dom.shape, jnp.float32))
+            weights.append(jnp.zeros(dom.shape, jnp.float32))
+            continue
+        xi, yi, zi, s1, t1, f1 = _mac_axis_weights(parts.pos, dom.shape, c)
+        flat, w = _corner_arrays(xi, yi, zi, s1, t1, f1, dom.shape)
+        w = w * af[None, :]
+        acc, wsum = _scatter_weighted(dom.shape, flat, w, pvel[:, c][None, :])
+        vels.append(acc)
+        weights.append(wsum)
+    weight = jnp.stack(weights)
+    vel_acc = jnp.stack(vels)
+    # stomp tiny weights to zero, then safe divide (flip.cpp:653-655)
+    weight_st = jnp.where(weight <= VECTOR_EPSILON, 0.0, weight)
+    vel = jnp.where(weight_st > 0, vel_acc / jnp.maximum(weight_st, 1e-30), 0.0)
+    return vel, weight
+
+
+def map_parts_to_grid(parts: Particles, psource, flags, dom: Domain):
+    """mapPartsToGrid (flip.cpp:682): cell-centered weighted scatter of a
+    scalar (or per-component vector) channel."""
+    active = parts.active_mask().astype(jnp.float32)
+    px, py, pz = parts.pos[:, 0], parts.pos[:, 1], parts.pos[:, 2]
+    sz, sy, sx = dom.shape
+    xi, s1 = _axis_weights(px - 0.5, sx)
+    yi, t1 = _axis_weights(py - 0.5, sy)
+    zi, f1 = _axis_weights(pz - 0.5, sz)
+    flat, w = _corner_arrays(xi, yi, zi, s1, t1, f1, dom.shape)
+    w = w * active[None, :]
+    if psource.ndim == 1:
+        acc, wsum = _scatter_weighted(dom.shape, flat, w, psource[None, :])
+        return jnp.where(wsum < VECTOR_EPSILON, 0.0, acc / jnp.maximum(wsum, 1e-30))
+    outs = []
+    for c in range(psource.shape[1]):
+        acc, wsum = _scatter_weighted(dom.shape, flat, w, psource[:, c][None, :])
+        outs.append(jnp.where(wsum < VECTOR_EPSILON, 0.0,
+                              acc / jnp.maximum(wsum, 1e-30)))
+    return jnp.stack(outs)
+
+
+def map_grid_to_parts(grid, parts: Particles):
+    """mapGridToParts (flip.cpp:699): cell-centered interpolation."""
+    px, py, pz = parts.pos[:, 0], parts.pos[:, 1], parts.pos[:, 2]
+    if grid.ndim == 3:
+        return interpol(grid, px, py, pz)
+    return jnp.stack([interpol(grid[c], px, py, pz)
+                      for c in range(grid.shape[0])], axis=-1)
+
+
+def map_mac_to_parts(vel, parts: Particles, ptype=None, exclude: int = 0,
+                     old_pvel=None):
+    """mapMACToParts / PIC update (flip.cpp:709-723)."""
+    u, v, w = interpol_mac(vel, parts.pos[:, 0], parts.pos[:, 1],
+                           parts.pos[:, 2])
+    new = jnp.stack([u, v, w], axis=-1)
+    if old_pvel is None:
+        return new
+    keep = ~parts.active_mask()
+    if ptype is not None:
+        keep = keep | ((ptype & exclude) != 0)
+    return jnp.where(keep[:, None], old_pvel, new)
+
+
+def flip_velocity_update(parts: Particles, pvel, flags, vel, vel_old,
+                         flip_ratio: float, ptype=None, exclude: int = 0):
+    """flipVelocityUpdate (flip.cpp:727-744): blend FLIP delta with PIC."""
+    px, py, pz = parts.pos[:, 0], parts.pos[:, 1], parts.pos[:, 2]
+    v1 = jnp.stack(interpol_mac(vel_old, px, py, pz), axis=-1)
+    v2 = jnp.stack(interpol_mac(vel, px, py, pz), axis=-1)
+    new = flip_ratio * (pvel + (v2 - v1)) + (1.0 - flip_ratio) * v2
+    keep = ~parts.active_mask()
+    if ptype is not None:
+        keep = keep | ((ptype & exclude) != 0)
+    return jnp.where(keep[:, None], pvel, new)
+
+
+# ---------------------------------------------------------------------------
+# flags from particles
+
+def _cell_of(parts: Particles, dom: Domain):
+    sz, sy, sx = dom.shape
+    i = parts.pos[:, 0].astype(jnp.int32)
+    j = parts.pos[:, 1].astype(jnp.int32)
+    k = parts.pos[:, 2].astype(jnp.int32)
+    inb = ((i >= 0) & (i < sx) & (j >= 0) & (j < sy))
+    if dom.is3d:
+        inb &= (k >= 0) & (k < sz)
+    i = jnp.clip(i, 0, sx - 1)
+    j = jnp.clip(j, 0, sy - 1)
+    k = jnp.clip(k, 0, sz - 1)
+    return (k * sy + j) * sx + i, inb
+
+
+def particle_counts(parts: Particles, dom: Domain, ptype=None,
+                    exclude: int = 0):
+    """Per-cell particle counts (the counter grid of gridParticleIndex,
+    flip.cpp:274-300)."""
+    active = parts.active_mask()
+    if ptype is not None:
+        active = active & ((ptype & exclude) == 0)
+    flat, inb = _cell_of(parts, dom)
+    n = dom.shape[0] * dom.shape[1] * dom.shape[2]
+    cnt = jnp.zeros((n,), jnp.int32).at[flat].add(
+        (active & inb).astype(jnp.int32))
+    return cnt.reshape(dom.shape)
+
+
+def mark_fluid_cells(parts: Particles, flags, dom: Domain, ptype=None,
+                     exclude: int = 0):
+    """markFluidCells (flip.cpp:166-190): clear fluid flags, re-mark cells
+    containing particles."""
+    cleared = jnp.where(fl.is_fluid(flags),
+                        (flags | fl.TypeEmpty) & ~fl.TypeFluid, flags)
+    occupied = particle_counts(parts, dom, ptype, exclude) > 0
+    mark = occupied & fl.is_empty(cleared)
+    return jnp.where(mark, (cleared | fl.TypeFluid) & ~fl.TypeEmpty, cleared)
+
+
+def mark_isolated_fluid_cell(flags, dom: Domain, mark: int):
+    """markIsolatedFluidCell (grid.cpp:988-1011): fluid cells with no fluid
+    4/6-neighbor are retyped to `mark` wholesale."""
+    fluid = fl.is_fluid(flags)
+    has_nb = (shift(fluid, 1, "x") | shift(fluid, -1, "x")
+              | shift(fluid, 1, "y") | shift(fluid, -1, "y"))
+    if dom.is3d:
+        has_nb = has_nb | shift(fluid, 1, "z") | shift(fluid, -1, "z")
+    return jnp.where(fluid & ~has_nb, jnp.int32(mark), flags)
+
+
+def set_part_type(parts: Particles, ptype, mark: int, stype: int, flags,
+                  dom: Domain, cflag: int):
+    """setPartType (ptsplugins.cpp:56-66)."""
+    flat, inb = _cell_of(parts, dom)
+    cell_flag = flags.reshape(-1)[flat]
+    hit = inb & ((cell_flag & cflag) != 0) & ((ptype & stype) != 0)
+    return jnp.where(hit, jnp.int32(mark), ptype)
+
+
+# ---------------------------------------------------------------------------
+# particle level sets
+
+def _radius_factor(dom: Domain, factor: float) -> float:
+    """calculateRadiusFactor (flip.cpp:198): cell diagonal + 1% safety."""
+    return (math.sqrt(3.0) if dom.is3d else math.sqrt(2.0)) * (factor + 0.01)
+
+
+def union_particle_levelset(parts: Particles, flags, dom: Domain,
+                            radius_factor: float = 1.0, ptype=None,
+                            exclude: int = 0):
+    """unionParticleLevelset (flip.cpp:300-363): per-cell min over nearby
+    particles of |cellCenter - p| - radius, computed as a bounded-window
+    scatter-min instead of the reference's cell-index search."""
+    radius = 0.5 * _radius_factor(dom, radius_factor)
+    r = int(1.0 * radius) + 1
+    sz, sy, sx = dom.shape
+    n = sz * sy * sx
+    active = parts.active_mask()
+    if ptype is not None:
+        active = active & ((ptype & exclude) == 0)
+
+    pi = parts.pos[:, 0].astype(jnp.int32)
+    pj = parts.pos[:, 1].astype(jnp.int32)
+    pk = parts.pos[:, 2].astype(jnp.int32)
+
+    big = jnp.float32(1e10)
+    phi_flat = jnp.full((n,), radius, jnp.float32)
+    zrange = range(-r, r + 1) if dom.is3d else [0]
+    for dz in zrange:
+        for dy in range(-r, r + 1):
+            for dx in range(-r, r + 1):
+                ci, cj, ck = pi + dx, pj + dy, pk + dz
+                ok = active & (ci >= 0) & (ci < sx) & (cj >= 0) & (cj < sy)
+                if dom.is3d:
+                    ok &= (ck >= 0) & (ck < sz)
+                cik = jnp.clip(ci, 0, sx - 1)
+                cjk = jnp.clip(cj, 0, sy - 1)
+                ckk = jnp.clip(ck, 0, sz - 1) if dom.is3d else jnp.zeros_like(cik)
+                gx = cik.astype(jnp.float32) + 0.5
+                gy = cjk.astype(jnp.float32) + 0.5
+                gz = ckk.astype(jnp.float32) + 0.5
+                d = jnp.sqrt((gx - parts.pos[:, 0]) ** 2
+                             + (gy - parts.pos[:, 1]) ** 2
+                             + ((gz - parts.pos[:, 2]) ** 2 if dom.is3d else 0.0)
+                             ) - radius
+                d = jnp.where(ok, d, big)
+                flat = (ckk * sy + cjk) * sx + cik
+                phi_flat = phi_flat.at[flat].min(d)
+    phi = phi_flat.reshape(dom.shape)
+    # phi.setBound(0.5, 0): outermost layer
+    inter = interior_mask(dom, 1)
+    return jnp.where(inter, phi, 0.5)
+
+
+def averaged_particle_levelset(parts: Particles, flags, dom: Domain,
+                               radius_factor: float = 1.0, smoothen: int = 1,
+                               smoothen_neg: int = 1, ptype=None,
+                               exclude: int = 0):
+    """averagedParticleLevelset (flip.cpp:367-477), Zhu & Bridson style:
+    weighted-average particle position/radius then smoothing."""
+    radius = 0.5 * _radius_factor(dom, radius_factor)
+    r = int(1.0 * radius) + 1
+    sradius_inv = 1.0 / (4.0 * radius * radius)
+    sz, sy, sx = dom.shape
+    n = sz * sy * sx
+    active = parts.active_mask()
+    if ptype is not None:
+        active = active & ((ptype & exclude) == 0)
+
+    wacc = jnp.zeros((n,), jnp.float32)
+    pacc = jnp.zeros((n, 3), jnp.float32)
+
+    pi = parts.pos[:, 0].astype(jnp.int32)
+    pj = parts.pos[:, 1].astype(jnp.int32)
+    pk = parts.pos[:, 2].astype(jnp.int32)
+    zrange = range(-r, r + 1) if dom.is3d else [0]
+    for dz in zrange:
+        for dy in range(-r, r + 1):
+            for dx in range(-r, r + 1):
+                ci, cj, ck = pi + dx, pj + dy, pk + dz
+                ok = active & (ci >= 0) & (ci < sx) & (cj >= 0) & (cj < sy)
+                if dom.is3d:
+                    ok &= (ck >= 0) & (ck < sz)
+                cik = jnp.clip(ci, 0, sx - 1)
+                cjk = jnp.clip(cj, 0, sy - 1)
+                ckk = jnp.clip(ck, 0, sz - 1) if dom.is3d else jnp.zeros_like(cik)
+                gx = cik.astype(jnp.float32) + 0.5
+                gy = cjk.astype(jnp.float32) + 0.5
+                gz = ckk.astype(jnp.float32) + 0.5
+                s = ((gx - parts.pos[:, 0]) ** 2 + (gy - parts.pos[:, 1]) ** 2
+                     + ((gz - parts.pos[:, 2]) ** 2 if dom.is3d else 0.0)
+                     ) * sradius_inv
+                w = jnp.maximum(0.0, 1.0 - s)
+                w = jnp.where(ok, w, 0.0)
+                flat = (ckk * sy + cjk) * sx + cik
+                wacc = wacc.at[flat].add(w)
+                pacc = pacc.at[flat].add(w[:, None] * parts.pos)
+    have = wacc > VECTOR_EPSILON
+    pavg = pacc / jnp.maximum(wacc, 1e-30)[:, None]
+    racc = radius  # racc/wacc == radius (all particles share one radius)
+    gx = (jnp.arange(sx, dtype=jnp.float32) + 0.5).reshape(1, 1, sx)
+    gy = (jnp.arange(sy, dtype=jnp.float32) + 0.5).reshape(1, sy, 1)
+    gz = (jnp.arange(sz, dtype=jnp.float32) + 0.5).reshape(sz, 1, 1)
+    px = pavg[:, 0].reshape(dom.shape)
+    py = pavg[:, 1].reshape(dom.shape)
+    pz = pavg[:, 2].reshape(dom.shape)
+    dist = jnp.sqrt((gx - px) ** 2 + (gy - py) ** 2
+                    + ((gz - pz) ** 2 if dom.is3d else 0.0)) - racc
+    phi = jnp.where(have.reshape(dom.shape), dist, radius)
+
+    factor = 1.0 / (1.0 + 2.0 * dom.dim)
+    for _ in range(smoothen):
+        phi = _smooth_grid(phi, dom, factor)
+    for _ in range(smoothen_neg):
+        phi = _smooth_grid_neg(phi, dom, factor)
+    inter = interior_mask(dom, 1)
+    return jnp.where(inter, phi, 0.5)
+
+
+def _neighbor_sum(a, dom: Domain):
+    s = (a + shift(a, 1, "x") + shift(a, -1, "x")
+         + shift(a, 1, "y") + shift(a, -1, "y"))
+    if dom.is3d:
+        s = s + shift(a, 1, "z") + shift(a, -1, "z")
+    return s
+
+
+def _smooth_grid(phi, dom: Domain, factor: float):
+    """knSmoothGrid (flip.cpp:445-459), bnd=1."""
+    val = _neighbor_sum(phi, dom) * factor
+    return jnp.where(interior_mask(dom, 1), val, phi)
+
+
+def _smooth_grid_neg(phi, dom: Domain, factor: float):
+    """knSmoothGridNeg (flip.cpp:461-475): take smoothed value only when it
+    decreases phi."""
+    val = _neighbor_sum(phi, dom) * factor
+    out = jnp.where(val < phi, val, phi)
+    return jnp.where(interior_mask(dom, 1), out, phi)
+
+
+# ---------------------------------------------------------------------------
+# narrow band & misc
+
+def combine_grid_vel(vel, weight, combine_vel, dom: Domain, phi=None,
+                     narrow_band: float = 0.0, thresh: float = 0.0):
+    """combineGridVel (flip.cpp:748-773). Returns (vel, combine_vel)."""
+    sz, sy, sx = dom.shape
+    x = jnp.arange(sx, dtype=jnp.float32).reshape(1, 1, sx)
+    y = jnp.arange(sy, dtype=jnp.float32).reshape(1, sy, 1)
+    z = jnp.arange(sz, dtype=jnp.float32).reshape(sz, 1, 1)
+    face_pos = [
+        (jnp.broadcast_to(x, dom.shape), jnp.broadcast_to(y + 0.5, dom.shape),
+         jnp.broadcast_to(z + 0.5, dom.shape)),
+        (jnp.broadcast_to(x + 0.5, dom.shape), jnp.broadcast_to(y, dom.shape),
+         jnp.broadcast_to(z + 0.5, dom.shape)),
+        (jnp.broadcast_to(x + 0.5, dom.shape), jnp.broadcast_to(y + 0.5, dom.shape),
+         jnp.broadcast_to(z, dom.shape)),
+    ]
+    new_vel, new_cv = [], []
+    for c in range(3):
+        v, cv = vel[c], combine_vel[c]
+        inner = jnp.where(weight[c] > thresh, -1.0, 0.0)
+        cv = jnp.where(weight[c] > thresh, v, cv)
+        v = inner
+        if phi is not None:
+            fx, fy, fz = face_pos[c]
+            p = interpol(phi, fx, fy, fz)
+            deep = p < -narrow_band
+            v = jnp.where(deep, 0.0, v)
+            cv = jnp.where(deep, combine_vel[c], cv)
+        new_vel.append(v)
+        new_cv.append(cv)
+    return jnp.stack(new_vel), jnp.stack(new_cv)
+
+
+def get_laplacian(grid, dom: Domain):
+    """LaplaceOp (commonkernels.h): 5/7-point Laplacian, bnd=1.
+    (_neighbor_sum includes the center, hence the (1 + 2*dim) factor.)"""
+    lap = _neighbor_sum(grid, dom) - (1.0 + 2.0 * dom.dim) * grid
+    return jnp.where(interior_mask(dom, 1), lap, 0.0)
+
+
+def get_curvature(grid, dom: Domain, h: float = 1.0):
+    """CurvatureOp (commonkernels.h): kappa = div(grad phi / |grad phi|),
+    computed with central differences at bnd=1."""
+    def d1(a, ax):
+        return 0.5 * (shift(a, 1, ax) - shift(a, -1, ax))
+
+    def d2(a, ax):
+        return shift(a, 1, ax) - 2.0 * a + shift(a, -1, ax)
+
+    def dxy(a, ax1, ax2):
+        return 0.25 * (shift(shift(a, 1, ax1), 1, ax2)
+                       - shift(shift(a, -1, ax1), 1, ax2)
+                       - shift(shift(a, 1, ax1), -1, ax2)
+                       + shift(shift(a, -1, ax1), -1, ax2))
+
+    px_, py_ = d1(grid, "x"), d1(grid, "y")
+    pxx, pyy = d2(grid, "x"), d2(grid, "y")
+    pxy = dxy(grid, "x", "y")
+    if dom.is3d:
+        pz_ = d1(grid, "z")
+        pzz = d2(grid, "z")
+        pxz, pyz = dxy(grid, "x", "z"), dxy(grid, "y", "z")
+        g2 = px_ ** 2 + py_ ** 2 + pz_ ** 2
+        num = (px_ ** 2 * (pyy + pzz) + py_ ** 2 * (pxx + pzz)
+               + pz_ ** 2 * (pxx + pyy)
+               - 2 * (px_ * py_ * pxy + px_ * pz_ * pxz + py_ * pz_ * pyz))
+    else:
+        g2 = px_ ** 2 + py_ ** 2
+        num = px_ ** 2 * pyy + py_ ** 2 * pxx - 2 * px_ * py_ * pxy
+    denom = jnp.maximum(g2, 1e-12) ** 1.5
+    kappa = num / (denom * h)
+    return jnp.where(interior_mask(dom, 1), kappa, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# particle channel ops (ptsplugins.cpp)
+
+def add_force_pvel(pvel, accel, dt, ptype=None, exclude: int = 0):
+    """addForcePvel (ptsplugins.cpp:26-30)."""
+    da = jnp.asarray(accel, jnp.float32) * dt
+    upd = pvel + da[None, :]
+    if ptype is not None:
+        upd = jnp.where(((ptype & exclude) != 0)[:, None], pvel, upd)
+    return upd
+
+
+def euler_step(parts: Particles, pvel, dt, ptype=None, exclude: int = 0):
+    """eulerStep (ptsplugins.cpp:44-54)."""
+    move = ((ptype & exclude) == 0) if ptype is not None else jnp.ones(
+        parts.capacity, dtype=bool)
+    pos = jnp.where(move[:, None], parts.pos + pvel * dt, parts.pos)
+    return dataclasses.replace(parts, pos=pos)
+
+
+def update_velocity_from_delta_pos(parts: Particles, pvel, x_prev, dt,
+                                   ptype=None, exclude: int = 0):
+    """updateVelocityFromDeltaPos (ptsplugins.cpp:32-42)."""
+    new = (parts.pos - x_prev) / dt
+    if ptype is not None:
+        new = jnp.where(((ptype & exclude) != 0)[:, None], pvel, new)
+    return new

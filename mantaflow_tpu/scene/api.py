@@ -448,12 +448,11 @@ class Solver:
 
     def create(self, cls, **kw):
         name = kw.pop("name", "")
+        kw.pop("type", None)  # manta allows create(name=..., type=Cls)
         if issubclass(cls, GridBase):
-            g = cls(self, name=name)
-            return g
-        if issubclass(cls, (_SceneShape, NoiseField)):
-            return cls(self, **kw)
-        raise TypeError(f"Solver.create: unsupported class {cls}")
+            return cls(self, name=name)
+        # shapes, noise fields, particle systems, meshes: ctor(solver, **kw)
+        return cls(self, **kw)
 
     def step(self, frame: int = -1):
         """fluidsolver.cpp:143-166."""

@@ -1,0 +1,470 @@
+"""Particle-system scene API (mantaflow-compatible wrappers).
+
+Mirrors BasicParticleSystem / ParticleDataImpl<T> and the FLIP plugin
+surface so reference FLIP scenes (scenes/flip01..06, benchmark_dam.py) port
+line-by-line. State lives in the pure pytrees of core.particles / ops.flip.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import particles as cp
+from ..core.domain import Domain
+from ..ops import extrapolation as xtr
+from ..ops import flip as fo
+from .api import (FlagGrid, GridBase, IntGrid, LevelsetGrid, MACGrid,
+                  RealGrid, Solver, Vec3Grid, _SceneShape, mantaMsg)
+
+# particle flag constants (particle.h:35-42)
+PtypeSpray = cp.PSPRAY
+PtypeBubble = cp.PBUBBLE
+PtypeFoam = cp.PFOAM
+PtypeTracer = cp.PTRACER
+
+
+class PdataBase:
+    def __init__(self, parent: "BasicParticleSystem", width: int = 1,
+                 dtype=jnp.float32):
+        self.parent = parent
+        shape = (parent.capacity,) if width == 1 else (parent.capacity, width)
+        self.data = jnp.zeros(shape, dtype=dtype)
+
+    def setConst(self, v):
+        self.data = jnp.full_like(self.data, v) if self.data.ndim == 1 else \
+            jnp.broadcast_to(jnp.asarray(v, self.data.dtype),
+                             self.data.shape).copy()
+
+    def setConstRange(self, s, begin: int, end: int):
+        idx = jnp.arange(self.data.shape[0])
+        m = (idx >= begin) & (idx < end)
+        if self.data.ndim == 2:
+            m = m[:, None]
+        self.data = jnp.where(m, jnp.asarray(s, self.data.dtype), self.data)
+
+    def copyFrom(self, other):
+        self.data = other.data
+
+    def multConst(self, v):
+        self.data = self.data * v
+
+    def clamp(self, vmin, vmax):
+        self.data = jnp.clip(self.data, vmin, vmax)
+
+    def getMaxAbs(self):
+        if self.data.ndim == 2:
+            return float(jnp.sqrt(jnp.max(jnp.sum(self.data ** 2, axis=-1))))
+        return float(jnp.max(jnp.abs(self.data)))
+
+    def to_numpy(self):
+        return np.asarray(self.data)
+
+
+class PdataReal(PdataBase):
+    def __init__(self, parent):
+        super().__init__(parent, 1, jnp.float32)
+
+
+class PdataInt(PdataBase):
+    def __init__(self, parent):
+        super().__init__(parent, 1, jnp.int32)
+
+
+class PdataVec3(PdataBase):
+    def __init__(self, parent):
+        super().__init__(parent, 3, jnp.float32)
+
+
+class BasicParticleSystem:
+    """Scene wrapper over core.particles.Particles (particle.h:198-246)."""
+
+    DEFAULT_CAPACITY = 1 << 16
+
+    def __init__(self, solver: Solver, name: str = ""):
+        self.solver = solver
+        self.name = name
+        self._capacity = self.DEFAULT_CAPACITY
+        self.parts = cp.Particles(
+            pos=jnp.zeros((self._capacity, 3), jnp.float32),
+            flags=jnp.full((self._capacity,), cp.PINVALID | cp.PDELETE,
+                           jnp.int32),
+            count=jnp.int32(0))
+        self._pdata: list[PdataBase] = []
+
+    @property
+    def capacity(self) -> int:
+        return self._capacity
+
+    @property
+    def dom(self) -> Domain:
+        return self.solver.domain
+
+    def create(self, cls, **kw):
+        pd = cls(self)
+        self._pdata.append(pd)
+        return pd
+
+    def _replace(self, parts: cp.Particles):
+        if parts.capacity != self._capacity:
+            # re-align registered channels after a capacity change
+            for pd in self._pdata:
+                pad = parts.capacity - pd.data.shape[0]
+                if pad > 0:
+                    widths = [(0, pad)] + [(0, 0)] * (pd.data.ndim - 1)
+                    pd.data = jnp.pad(pd.data, widths)
+                elif pad < 0:
+                    pd.data = pd.data[:parts.capacity]
+            self._capacity = parts.capacity
+        self.parts = parts
+
+    def pySize(self) -> int:
+        return int(self.parts.count)
+
+    size = pySize
+
+    def clear(self):
+        self.parts = cp.Particles(
+            pos=jnp.zeros((self._capacity, 3), jnp.float32),
+            flags=jnp.full((self._capacity,), cp.PINVALID | cp.PDELETE,
+                           jnp.int32),
+            count=jnp.int32(0))
+
+    def doCompress(self):
+        pass  # masked ops make compaction unnecessary
+
+    def getPosPdata(self, target: PdataVec3):
+        target.data = self.parts.pos
+
+    def setPosPdata(self, source: PdataVec3):
+        import dataclasses
+        self.parts = dataclasses.replace(self.parts, pos=source.data)
+
+    def advectInGrid(self, flags: FlagGrid, vel: MACGrid, integrationMode: int,
+                     deleteInObstacle: bool = True, stopInObstacle: bool = True,
+                     skipNew: bool = False, ptype: PdataInt | None = None,
+                     exclude: int = 0):
+        self.parts = _advect_jit(
+            self.parts, flags.data, vel.data,
+            jnp.float32(self.solver.timestep),
+            ptype.data if ptype is not None else None,
+            integrationMode, deleteInObstacle, stopInObstacle, skipNew,
+            exclude, self.dom)
+
+    def projectOutOfBnd(self, flags: FlagGrid, bnd: float,
+                        plane: str = "xXyYzZ", ptype=None, exclude: int = 0):
+        self.parts = cp.project_out_of_bnd(
+            self.parts, self.dom, bnd, plane,
+            ptype.data if ptype is not None else None, exclude)
+
+    def projectOutside(self, gradient: Vec3Grid):
+        # project along levelset gradient (particle.h:554-576)
+        pos = self.parts.pos
+        g = fo.map_grid_to_parts(gradient.data, self.parts)
+        n = jnp.sqrt(jnp.sum(g ** 2, axis=-1, keepdims=True))
+        dx = jnp.where(n > 1e-6, g / jnp.maximum(n, 1e-12) * (-n + 0.1), 0.0)
+        new = pos + dx
+        sz, sy, sx = self.dom.shape
+        hi = jnp.array([sx - 1.0, sy - 1.0, sz - 1.0])
+        new = jnp.clip(new, 1.0, hi)
+        import dataclasses
+        active = self.parts.active_mask()
+        self.parts = dataclasses.replace(
+            self.parts, pos=jnp.where(active[:, None], new, pos))
+
+    def to_numpy(self):
+        m = int(self.parts.count)
+        return np.asarray(self.parts.pos[:m])
+
+
+@partial(jax.jit, static_argnames=("integration_mode", "delete_in_obstacle",
+                                   "stop_in_obstacle", "skip_new", "exclude",
+                                   "dom", "has_ptype"))
+def _advect_core(parts, flags, vel, dt, ptype, integration_mode,
+                 delete_in_obstacle, stop_in_obstacle, skip_new, exclude, dom,
+                 has_ptype):
+    return cp.advect_in_grid(parts, flags, vel, dt, dom, integration_mode,
+                             delete_in_obstacle, stop_in_obstacle, skip_new,
+                             ptype if has_ptype else None, exclude)
+
+
+def _advect_jit(parts, flags, vel, dt, ptype, integration_mode,
+                delete_in_obstacle, stop_in_obstacle, skip_new, exclude, dom):
+    dummy = ptype if ptype is not None else parts.flags
+    return _advect_core(parts, flags, vel, dt, dummy, integration_mode,
+                        delete_in_obstacle, stop_in_obstacle, skip_new,
+                        exclude, dom, ptype is not None)
+
+
+class ParticleIndexSystem:
+    """API-compatible stub: the TPU design needs no sorted cell-index list
+    (neighbor searches are bounded-window scatters, see ops/flip.py)."""
+
+    def __init__(self, solver: Solver, name: str = ""):
+        self.solver = solver
+
+    def size(self):
+        return 0
+
+
+# ---------------------------------------------------------------------------
+# free functions (plugin surface)
+
+def sampleFlagsWithParticles(flags: FlagGrid, parts: BasicParticleSystem,
+                             discretization: int, randomness: float):
+    p = cp.sample_flags_with_particles(np.asarray(flags.data), flags.dom,
+                                       discretization, randomness)
+    parts._replace(p)
+
+
+def sampleLevelsetWithParticles(phi: LevelsetGrid, flags: FlagGrid,
+                                parts: BasicParticleSystem,
+                                discretization: int, randomness: float,
+                                reset: bool = False, refillEmpty: bool = False,
+                                particleFlag: int = -1):
+    if refillEmpty:
+        raise NotImplementedError("refillEmpty: use adjustNumber-based "
+                                  "reseeding instead")
+    p = cp.sample_levelset_with_particles(
+        np.asarray(phi.data), np.asarray(flags.data), flags.dom,
+        discretization, randomness)
+    if particleFlag >= 0:
+        import dataclasses
+        live = p.active_mask()
+        p = dataclasses.replace(
+            p, flags=jnp.where(live, jnp.int32(particleFlag), p.flags))
+    parts._replace(p)
+
+
+def sampleShapeWithParticles(shape: _SceneShape, flags: FlagGrid,
+                             parts: BasicParticleSystem, discretization: int,
+                             randomness: float, reset: bool = False,
+                             refillEmpty: bool = False, exclude=None):
+    p = cp.sample_shape_with_particles(
+        shape.shape, np.asarray(flags.data), flags.dom, discretization,
+        randomness,
+        exclude_phi=np.asarray(exclude.data) if exclude is not None else None)
+    parts._replace(p)
+
+
+def mapPartsToMAC(flags: FlagGrid, vel: MACGrid, velOld: MACGrid,
+                  parts: BasicParticleSystem, partVel: PdataVec3, weight=None,
+                  ptype=None, exclude: int = 0):
+    v, w = _p2g_jit(parts.parts, partVel.data, flags.data,
+                    ptype.data if ptype is not None else None, exclude,
+                    flags.dom)
+    vel.data = v
+    velOld.data = v  # reference copies post-divide state (flip.cpp:658)
+    if weight is not None:
+        weight.data = w
+
+
+@partial(jax.jit, static_argnames=("exclude", "dom", "has_ptype"))
+def _p2g_core(parts, pvel, flags, ptype, exclude, dom, has_ptype):
+    return fo.map_parts_to_mac(parts, pvel, flags, dom,
+                               ptype if has_ptype else None, exclude)
+
+
+def _p2g_jit(parts, pvel, flags, ptype, exclude, dom):
+    dummy = ptype if ptype is not None else parts.flags
+    return _p2g_core(parts, pvel, flags, dummy, exclude, dom,
+                     ptype is not None)
+
+
+def mapPartsToGrid(flags: FlagGrid, target: RealGrid,
+                   parts: BasicParticleSystem, source: PdataReal):
+    target.data = fo.map_parts_to_grid(parts.parts, source.data, flags.data,
+                                       flags.dom)
+
+
+def mapPartsToGridVec3(flags: FlagGrid, target: Vec3Grid,
+                       parts: BasicParticleSystem, source: PdataVec3):
+    target.data = fo.map_parts_to_grid(parts.parts, source.data, flags.data,
+                                       flags.dom)
+
+
+def mapGridToParts(source: RealGrid, parts: BasicParticleSystem,
+                   target: PdataReal):
+    target.data = fo.map_grid_to_parts(source.data, parts.parts)
+
+
+def mapGridToPartsVec3(source: Vec3Grid, parts: BasicParticleSystem,
+                       target: PdataVec3):
+    target.data = fo.map_grid_to_parts(source.data, parts.parts)
+
+
+def mapMACToParts(flags: FlagGrid, vel: MACGrid, parts: BasicParticleSystem,
+                  partVel: PdataVec3, ptype=None, exclude: int = 0):
+    partVel.data = fo.map_mac_to_parts(
+        vel.data, parts.parts, ptype.data if ptype is not None else None,
+        exclude, old_pvel=partVel.data)
+
+
+def flipVelocityUpdate(flags: FlagGrid, vel: MACGrid, velOld: MACGrid,
+                       parts: BasicParticleSystem, partVel: PdataVec3,
+                       flipRatio: float, ptype=None, exclude: int = 0):
+    partVel.data = _flip_upd_jit(parts.parts, partVel.data, flags.data,
+                                 vel.data, velOld.data, flipRatio,
+                                 ptype.data if ptype is not None else None,
+                                 exclude)
+
+
+@partial(jax.jit, static_argnames=("flip_ratio", "exclude", "has_ptype"))
+def _flip_upd_core(parts, pvel, flags, vel, vel_old, flip_ratio, ptype,
+                   exclude, has_ptype):
+    return fo.flip_velocity_update(parts, pvel, flags, vel, vel_old,
+                                   flip_ratio, ptype if has_ptype else None,
+                                   exclude)
+
+
+def _flip_upd_jit(parts, pvel, flags, vel, vel_old, flip_ratio, ptype,
+                  exclude):
+    dummy = ptype if ptype is not None else parts.flags
+    return _flip_upd_core(parts, pvel, flags, vel, vel_old, flip_ratio, dummy,
+                          exclude, ptype is not None)
+
+
+def markFluidCells(parts: BasicParticleSystem, flags: FlagGrid, phiObs=None,
+                   ptype=None, exclude: int = 0):
+    flags.data = fo.mark_fluid_cells(
+        parts.parts, flags.data, flags.dom,
+        ptype.data if ptype is not None else None, exclude)
+
+
+def markIsolatedFluidCell(flags: FlagGrid, mark: int):
+    flags.data = fo.mark_isolated_fluid_cell(flags.data, flags.dom, mark)
+
+
+def setPartType(parts: BasicParticleSystem, ptype: PdataInt, mark: int,
+                stype: int, flags: FlagGrid, cflag: int):
+    ptype.data = fo.set_part_type(parts.parts, ptype.data, mark, stype,
+                                  flags.data, flags.dom, cflag)
+
+
+def gridParticleIndex(parts: BasicParticleSystem,
+                      indexSys: ParticleIndexSystem, flags: FlagGrid,
+                      index: IntGrid, counter=None):
+    """Per-cell particle counts; the sorted index list itself is not needed
+    by the TPU implementations (see ops/flip.py module doc)."""
+    counts = fo.particle_counts(parts.parts, flags.dom)
+    if counter is not None:
+        counter.data = counts
+    # reference 'index' holds prefix sums; provide them for API parity
+    index.data = (jnp.cumsum(counts.reshape(-1)) - counts.reshape(-1)
+                  ).astype(jnp.int32).reshape(flags.dom.shape)
+
+
+def unionParticleLevelset(parts: BasicParticleSystem,
+                          indexSys: ParticleIndexSystem, flags: FlagGrid,
+                          index: IntGrid, phi: LevelsetGrid,
+                          radiusFactor: float = 1.0, ptype=None,
+                          exclude: int = 0):
+    phi.data = _union_ls_jit(parts.parts, flags.data,
+                             ptype.data if ptype is not None else None,
+                             radiusFactor, exclude, flags.dom)
+
+
+@partial(jax.jit, static_argnames=("radius_factor", "exclude", "dom",
+                                   "has_ptype"))
+def _union_ls_core(parts, flags, ptype, radius_factor, exclude, dom,
+                   has_ptype):
+    return fo.union_particle_levelset(parts, flags, dom, radius_factor,
+                                      ptype if has_ptype else None, exclude)
+
+
+def _union_ls_jit(parts, flags, ptype, radius_factor, exclude, dom):
+    dummy = ptype if ptype is not None else parts.flags
+    return _union_ls_core(parts, flags, dummy, radius_factor, exclude, dom,
+                          ptype is not None)
+
+
+def averagedParticleLevelset(parts: BasicParticleSystem,
+                             indexSys: ParticleIndexSystem, flags: FlagGrid,
+                             index: IntGrid, phi: LevelsetGrid,
+                             radiusFactor: float = 1.0, smoothen: int = 1,
+                             smoothenNeg: int = 1, ptype=None,
+                             exclude: int = 0):
+    phi.data = fo.averaged_particle_levelset(
+        parts.parts, flags.data, flags.dom, radiusFactor, smoothen,
+        smoothenNeg, ptype.data if ptype is not None else None, exclude)
+
+
+def pushOutofObs(parts: BasicParticleSystem, flags: FlagGrid,
+                 phiObs: RealGrid, shift: float = 0.0, thresh: float = 0.0,
+                 ptype=None, exclude: int = 0):
+    parts.parts = cp.push_out_of_obs(
+        parts.parts, flags.data, phiObs.data, flags.dom, shift, thresh,
+        ptype.data if ptype is not None else None, exclude)
+
+
+def addForcePvel(vel: PdataVec3, a, dt: float, ptype=None, exclude: int = 0):
+    vel.data = fo.add_force_pvel(vel.data, tuple(a), dt,
+                                 ptype.data if ptype is not None else None,
+                                 exclude)
+
+
+def eulerStep(parts: BasicParticleSystem, vel: PdataVec3, ptype=None,
+              exclude: int = 0):
+    parts.parts = fo.euler_step(parts.parts, vel.data,
+                                parts.solver.timestep,
+                                ptype.data if ptype is not None else None,
+                                exclude)
+
+
+def updateVelocityFromDeltaPos(parts: BasicParticleSystem, vel: PdataVec3,
+                               x_prev: PdataVec3, dt: float, ptype=None,
+                               exclude: int = 0):
+    vel.data = fo.update_velocity_from_delta_pos(
+        parts.parts, vel.data, x_prev.data, dt,
+        ptype.data if ptype is not None else None, exclude)
+
+
+def combineGridVel(vel: MACGrid, weight: Vec3Grid, combineVel: MACGrid,
+                   phi=None, narrowBand: float = 0.0, thresh: float = 0.0):
+    v, cv = fo.combine_grid_vel(vel.data, weight.data, combineVel.data,
+                                vel.dom,
+                                phi.data if phi is not None else None,
+                                narrowBand, thresh)
+    vel.data = v
+    combineVel.data = cv
+
+
+def getLaplacian(laplacian: RealGrid, grid: RealGrid):
+    laplacian.data = fo.get_laplacian(grid.data, grid.dom)
+
+
+def getCurvature(curv: RealGrid, grid: RealGrid, h: float = 1.0):
+    curv.data = fo.get_curvature(grid.data, grid.dom, h)
+
+
+# ---------------------------------------------------------------------------
+# extrapolation surface (fastmarch.cpp)
+
+def extrapolateMACSimple(flags: FlagGrid, vel: MACGrid, distance: int = 4,
+                         phiObs=None, intoObs: bool = False):
+    vel.data = xtr.extrapolate_mac_simple(
+        flags.data, vel.data, flags.dom, distance,
+        phiObs.data if phiObs is not None else None, intoObs)
+
+
+def extrapolateMACFromWeight(vel: MACGrid, weight: Vec3Grid,
+                             distance: int = 2):
+    v, w = xtr.extrapolate_mac_from_weight(vel.data, weight.data, vel.dom,
+                                           distance)
+    vel.data = v
+    weight.data = w
+
+
+def extrapolateLsSimple(phi: LevelsetGrid, distance: int = 4,
+                        inside: bool = False, include_walls: bool = False):
+    phi.data = xtr.extrapolate_ls_simple(phi.data, phi.dom, distance, inside,
+                                         include_walls)
+
+
+def extrapolateVec3Simple(vel: Vec3Grid, phi: RealGrid, distance: int = 4,
+                          inside: bool = False):
+    vel.data = xtr.extrapolate_vec3_simple(vel.data, phi.data, vel.dom,
+                                           distance, inside)
