@@ -107,6 +107,9 @@ class vec3(tuple):
         return vec3(-self[0], -self[1], -self[2])
 
 
+Vec3 = vec3  # manta exposes both spellings
+
+
 def vec3i(x, y=None, z=None):
     if y is None:
         y = z = x
@@ -262,6 +265,25 @@ class LevelsetGrid(RealGrid):
         if ignore_walls:
             inside = inside | fl.is_obstacle(flags.data)
         self.data = jnp.where(inside, -0.5, 0.5)
+
+    def reinitMarching(self, flags, maxTime: float = 4.0, velTransport=None,
+                       ignoreWalls: bool = False,
+                       correctOuterLayer: bool = True,
+                       obstacleType: int = fl.TypeObstacle):
+        """Parallel-redistancing replacement for the serial fast march
+        (see ops/levelset.py module doc)."""
+        from ..ops import levelset as lso
+        new_phi, new_vel = lso.reinit_marching(
+            self.data, flags.data, self.dom,
+            velTransport.data if velTransport is not None else None,
+            maxTime, ignoreWalls, correctOuterLayer, obstacleType)
+        self.data = new_phi
+        if velTransport is not None:
+            velTransport.data = new_vel
+
+    def fillHoles(self, maxDepth: int = 10, boundaryWidth: int = 1):
+        from ..ops import levelset as lso
+        self.data = lso.fill_holes(self.data, self.dom, maxDepth)
 
 
 class FlagGrid(IntGrid):
