@@ -27,7 +27,7 @@ from ..core import flags as fl
 from ..core.domain import Domain
 from ..core.interp import _axis_weights, interpol, interpol_mac
 from ..core.masks import interior_mask, shift
-from ..core.particles import Particles
+from ..core.particles import PDELETE, PNEW, Particles
 
 VECTOR_EPSILON = 1e-6
 
@@ -473,3 +473,104 @@ def update_velocity_from_delta_pos(parts: Particles, pvel, x_prev, dt,
     if ptype is not None:
         new = jnp.where(((ptype & exclude) != 0)[:, None], pvel, new)
     return new
+
+
+# ---------------------------------------------------------------------------
+# resampling (adjustNumber, flip.cpp:204-271)
+
+def adjust_number(parts: Particles, vel, flags, dom: Domain,
+                  min_particles: int, max_particles: int, phi,
+                  radius_factor: float = 1.0, narrow_band: float = -1.0,
+                  exclude=None, seed: int = 9832):
+    """adjustNumber: kill out-of-band/overfull particles, reseed underfull
+    fluid cells. Fixed-capacity redesign of the reference's kill/compress/
+    addBuffered flow: deletions are flag bits; new particles stream-compact
+    into dead slots (capacity bounds total count — overflow candidates are
+    dropped, which the reference's unbounded vector never hits; we keep
+    1.5x headroom at sampling time).
+
+    Differences from the serial reference, by design: the per-cell overfull
+    cull keeps the lowest-index particles (reference keeps first-come in
+    scan order — same thing for its index-ordered loop), and jitter uses a
+    counter-based PRNG instead of RandomStream (deterministic per call, as
+    the reference's fresh RandomStream(9832) is).
+    """
+    import jax
+
+    surface_ls = -1.0 * _radius_factor(dom, radius_factor)
+    sz, sy, sx = dom.shape
+    n = sz * sy * sx
+    cap = parts.capacity
+    idx = jnp.arange(cap, dtype=jnp.int32)
+
+    alive = parts.active_mask()
+    flat, inb = _cell_of(parts, dom)
+    phiv = interpol(phi, parts.pos[:, 0], parts.pos[:, 1], parts.pos[:, 2])
+    kill = ~inb | (phiv > 0.0)
+    if narrow_band > 0.0:
+        kill = kill | (phiv < -narrow_band)
+    at_surface = phiv > surface_ls
+    alive1 = alive & ~kill
+
+    # per-cell rank among surviving particles: stable sort keeps ascending
+    # index order within a cell (matching the reference's scan order)
+    cells_key = jnp.where(alive1, flat, n)
+    order = jnp.argsort(cells_key, stable=True)
+    sorted_cells = cells_key[order]
+    new_run = jnp.concatenate([jnp.array([True]),
+                               sorted_cells[1:] != sorted_cells[:-1]])
+    pos_in_sorted = jnp.arange(cap, dtype=jnp.int32)
+    run_start = jnp.where(new_run, pos_in_sorted, 0)
+    run_start = jax.lax.associative_scan(jnp.maximum, run_start)
+    rank_sorted = pos_in_sorted - run_start
+    rank = jnp.zeros(cap, jnp.int32).at[order].set(rank_sorted)
+
+    overfull = alive1 & ~at_surface & (rank >= max_particles)
+    alive2 = alive1 & ~overfull
+    new_flags = jnp.where(alive & ~alive2, parts.flags | PDELETE, parts.flags)
+
+    # per-cell survivor counts
+    cnt = jnp.zeros((n,), jnp.int32).at[flat].add(alive2.astype(jnp.int32))
+
+    # seed cells: fluid, in band, below min count, not excluded
+    phi_flat = phi.reshape(-1)
+    seed_cell = (fl.is_fluid(flags).reshape(-1)
+                 & (phi_flat <= surface_ls) & (cnt < min_particles))
+    if narrow_band > 0.0:
+        seed_cell = seed_cell & (phi_flat >= -narrow_band)
+    if exclude is not None:
+        seed_cell = seed_cell & ~(exclude.reshape(-1) < 0.0)
+
+    # candidates: (min_particles, ncells), slot m valid when cnt+m < min
+    m_idx = jnp.arange(min_particles, dtype=jnp.int32)[:, None]
+    cand_ok = seed_cell[None, :] & (cnt[None, :] + m_idx < min_particles)
+    cand_ok_f = cand_ok.reshape(-1)
+    n_cand_total = min_particles * n
+
+    # candidate positions: cell corner + uniform jitter
+    key = jax.random.PRNGKey(seed)
+    jit3 = jax.random.uniform(key, (min_particles, n, 3), jnp.float32)
+    cz, cy, cx = jnp.unravel_index(jnp.arange(n), dom.shape)
+    cand_pos = jnp.stack([
+        cx[None, :] + jit3[:, :, 0],
+        cy[None, :] + jit3[:, :, 1],
+        (cz[None, :] + jit3[:, :, 2]) if dom.is3d
+        else jnp.full((min_particles, n), 0.5),
+    ], axis=-1).reshape(n_cand_total, 3).astype(jnp.float32)
+
+    # stream-compact candidates into dead slots
+    dead = ~alive2 | (idx >= parts.count)
+    dead_slots = jnp.nonzero(dead, size=cap, fill_value=cap)[0]
+    cand_ids = jnp.nonzero(cand_ok_f, size=cap, fill_value=n_cand_total)[0]
+    n_dead = jnp.sum(dead)
+    n_cand = jnp.sum(cand_ok_f)
+    r = jnp.arange(cap, dtype=jnp.int32)
+    valid = (r < n_dead) & (r < n_cand)
+    tgt = jnp.where(valid, dead_slots, cap)  # cap => dropped by mode="drop"
+    src = jnp.clip(cand_ids, 0, n_cand_total - 1)
+    new_pos = parts.pos.at[tgt].set(cand_pos[src], mode="drop")
+    new_flags = new_flags.at[tgt].set(PNEW, mode="drop")
+
+    import dataclasses
+    return dataclasses.replace(parts, pos=new_pos, flags=new_flags,
+                               count=jnp.int32(cap))

@@ -468,3 +468,44 @@ def extrapolateVec3Simple(vel: Vec3Grid, phi: RealGrid, distance: int = 4,
                           inside: bool = False):
     vel.data = xtr.extrapolate_vec3_simple(vel.data, phi.data, vel.dom,
                                            distance, inside)
+
+
+# ---------------------------------------------------------------------------
+# APIC (plugin/apic.cpp)
+
+def apicMapPartsToMAC(flags: FlagGrid, vel: MACGrid,
+                      parts: BasicParticleSystem, partVel: PdataVec3,
+                      cpx: PdataVec3, cpy: PdataVec3, cpz: PdataVec3,
+                      mass=None, ptype=None, exclude: int = 0):
+    from ..ops import apic as ao
+    v, m = ao.apic_map_parts_to_mac(
+        parts.parts, partVel.data, cpx.data, cpy.data, cpz.data, flags.data,
+        flags.dom, ptype.data if ptype is not None else None, exclude)
+    vel.data = v
+    if mass is not None:
+        mass.data = m
+
+
+def apicMapMACGridToParts(partVel: PdataVec3, cpx: PdataVec3, cpy: PdataVec3,
+                          cpz: PdataVec3, parts: BasicParticleSystem,
+                          vel: MACGrid, flags: FlagGrid, ptype=None,
+                          exclude: int = 0):
+    from ..ops import apic as ao
+    pv, x, y, z = ao.apic_map_mac_to_parts(
+        parts.parts, vel.data, flags.data, flags.dom,
+        ptype.data if ptype is not None else None, exclude,
+        old=(partVel.data, cpx.data, cpy.data, cpz.data))
+    partVel.data, cpx.data, cpy.data, cpz.data = pv, x, y, z
+
+
+# ---------------------------------------------------------------------------
+# resampling
+
+def adjustNumber(parts: BasicParticleSystem, vel: MACGrid, flags: FlagGrid,
+                 minParticles: int, maxParticles: int, phi: LevelsetGrid,
+                 radiusFactor: float = 1.0, narrowBand: float = -1.0,
+                 exclude=None):
+    parts.parts = fo.adjust_number(
+        parts.parts, vel.data, flags.data, flags.dom, minParticles,
+        maxParticles, phi.data, radiusFactor, narrowBand,
+        exclude.data if exclude is not None else None)
