@@ -26,13 +26,17 @@ def main():
     from mantaflow_tpu.models import smoke
 
     res = int(os.environ.get("BENCH_RES", "128"))
-    n_warm = 3
-    n_steps = int(os.environ.get("BENCH_STEPS", "20"))
+    n_warm = 1  # first compile at 128^3 takes ~3-5 min on the axon backend
+    n_steps = int(os.environ.get("BENCH_STEPS", "10"))
 
     dom = Domain(size=(res, res, res), dim=3)
+    # window=3 fast advection is exact for CFL<=3; adaptive dt enforces that
+    # (reference plume_adaptDt.py pattern)
     params = smoke.SmokeParams(buoyancy=(0.0, -6e-4, 0.0),
                                vorticity_confinement=0.1,
-                               cg_accuracy=1e-3)
+                               cg_accuracy=1e-3,
+                               window=3, adaptive_dt=True, cfl=3.0,
+                               dt_max=2.0)
     src = Sphere(center=(res / 2.0, res * 0.1, res / 2.0), radius=res * 0.14)
     state = smoke.make_smoke_state(dom, params, source_shape=src)
 

@@ -39,6 +39,9 @@ class SmokeParams:
     cg_accuracy: float = 1e-3
     cg_max_iter_fac: float = 1.5
     open_bound: str = ""  # e.g. "yY" for the 2D plume
+    # window > 0 selects the fast shift-select advection path
+    # (ops/advection_fast.py); must be >= max CFL of the run
+    window: int = 0
     dissolve_speed: int = 0  # 0: off
     adaptive_dt: bool = False
     cfl: float = 3.0
@@ -98,12 +101,22 @@ def smoke_step(state: SmokeState, dom: Domain, params: SmokeParams) -> SmokeStat
     # emission: applyToGrid(value=1) inside the source region
     density = jnp.where(state.source > 0.0, state.source, density)
 
-    density = adv.advect_real(flags, vel, density, dt,
-                              order=params.advection_order,
-                              clamp_mode=params.clamp_mode)
-    vel = adv.advect_mac(flags, vel, vel, dt, order=params.advection_order,
-                         strength=params.mac_strength,
-                         clamp_mode=params.clamp_mode)
+    if params.window > 0:
+        from ..ops import advection_fast as advf
+        density = advf.advect_real_fast(flags, vel, density, dt, dom,
+                                        params.window,
+                                        order=params.advection_order)
+        vel = advf.advect_mac_fast(flags, vel, vel, dt, dom, params.window,
+                                   order=params.advection_order,
+                                   strength=params.mac_strength)
+    else:
+        density = adv.advect_real(flags, vel, density, dt,
+                                  order=params.advection_order,
+                                  clamp_mode=params.clamp_mode)
+        vel = adv.advect_mac(flags, vel, vel, dt,
+                             order=params.advection_order,
+                             strength=params.mac_strength,
+                             clamp_mode=params.clamp_mode)
 
     if params.open_bound:
         flags, _, density = ext.reset_outflow_grids(flags, dom, None, density)
