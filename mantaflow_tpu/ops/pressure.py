@@ -217,6 +217,37 @@ def _fix_pressure(flags, rhs, stencil, dom: Domain):
 # ---------------------------------------------------------------------------
 # CG core (conjugategrad.cpp:210-290)
 
+def mg_richardson(rhs, flags, dom: Domain, stencil, precond_apply,
+                  accuracy: float, max_cycles: int = 20):
+    """Stationary iteration x += V(r): the multigrid used as a solver
+    (reference GridMg supports standalone use, multigrid.h:31-86). Returns
+    (x, cycles, resnorm). Converges ~0.2-0.5x residual per cycle; the
+    float32 floor (~1e-4 relative) is handled by the CG tail in
+    solve_pressure_system."""
+    fluid = fl.is_fluid(flags)
+
+    def res_of(x):
+        r = rhs - apply_laplace(flags, x, stencil, dom)
+        return jnp.where(fluid, r, 0.0)
+
+    def cond(c):
+        _, _, it, rn, done = c
+        return (it < max_cycles) & (~done)
+
+    def body(c):
+        x, r, it, _, _ = c
+        x = x + precond_apply(r)
+        r = res_of(x)
+        rn = jnp.max(jnp.abs(r))
+        return (x, r, it + 1, rn, rn < accuracy)
+
+    r0 = jnp.where(fluid, rhs, 0.0)
+    init = (jnp.zeros_like(rhs), r0, jnp.int32(0), jnp.max(jnp.abs(r0)),
+            jnp.array(False))
+    x, r, it, rn, _ = jax.lax.while_loop(cond, body, init)
+    return x, it, rn
+
+
 def solve_pressure_system(rhs, flags, dom: Domain, stencil,
                           cg_accuracy: float = 1e-3,
                           cg_max_iter_fac: float = 1.5,
@@ -224,23 +255,37 @@ def solve_pressure_system(rhs, flags, dom: Domain, stencil,
                           use_l2_norm: bool = False,
                           precond_apply=None,
                           max_iter: int | None = None):
-    """Run CG on the assembled system; returns (pressure, iterations, resnorm).
+    """Run the solver on the assembled system; returns
+    (pressure, iterations, resnorm).
 
-    `precond_apply(r) -> z` plugs in a preconditioner (e.g. one MG V-cycle).
+    PcNone/PcMIC: plain CG (mIC(0) is inherently serial — SURVEY.md §7 — so
+    PcMIC maps to PcNone). PcMGDynamic/PcMGStatic: multigrid V-cycles as a
+    stationary solver, then plain CG polishes the float32 tail. This is a
+    TPU redesign of the reference's MIC(0)/MG-preconditioned CG
+    (pressure.cpp:396-441) with equivalent capability (solve to `accuracy`
+    in few iterations).
     """
+    x_init = None
+    mg_iters = jnp.int32(0)
+    if precond_apply is None and preconditioner in (PcMGDynamic, PcMGStatic):
+        from .multigrid import make_mg_preconditioner
+        mg_apply = make_mg_preconditioner(flags, dom, stencil)
+        x_init, mg_iters, mg_rn = mg_richardson(
+            rhs, flags, dom, stencil, mg_apply, cg_accuracy)
+        precond_apply = None  # CG tail runs unpreconditioned
+
     if max_iter is None:
-        if preconditioner in (PcMGDynamic, PcMGStatic):
-            max_iter = 100
-        else:
-            max_iter = int(cg_max_iter_fac * max(dom.size)) * (1 if dom.is3d else 4)
+        max_iter = int(cg_max_iter_fac * max(dom.size)) * (1 if dom.is3d else 4)
 
     if precond_apply is None:
         precond_apply = lambda r: r
 
     dot = lambda a, b: jnp.sum(a * b, dtype=jnp.float32)
 
-    p0 = jnp.zeros_like(rhs)
-    r0 = rhs
+    p0 = jnp.zeros_like(rhs) if x_init is None else x_init
+    r0 = rhs if x_init is None else jnp.where(
+        fl.is_fluid(flags), rhs - apply_laplace(flags, x_init, stencil, dom),
+        rhs)
     z0 = precond_apply(r0)
     s0 = z0
     sigma0 = dot(z0, r0)
@@ -270,9 +315,12 @@ def solve_pressure_system(rhs, flags, dom: Domain, stencil,
         sigma = jnp.where(done, sigma, sigma_new)
         return (p, r, s, sigma, it + 1, rn, done)
 
-    init = (p0, r0, s0, sigma0, jnp.int32(0), res_norm(r0), jnp.array(False))
+    # the CG loop's early-exit check uses rn computed after the update, so
+    # also skip entirely when the MG phase already converged
+    already = res_norm(r0) < cg_accuracy
+    init = (p0, r0, s0, sigma0, jnp.int32(0), res_norm(r0), already)
     p, r, s, sigma, iters, rn, done = jax.lax.while_loop(cond, body, init)
-    return p, iters, rn
+    return p, iters + mg_iters, rn
 
 
 # ---------------------------------------------------------------------------
