@@ -1,0 +1,168 @@
+"""Fused FLIP/APIC liquid solver: the whole step as one XLA program.
+
+Mirrors the reference FLIP scene loops (scenes/flip01_simple.py:47-68,
+scenes/benchmark_dam.py:99-143): particle advection → p2g → forces →
+projection → extrapolation → FLIP/APIC velocity update, composed from the
+pure ops so the entire step jits (and shards) as a single program with no
+host round-trips.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core import flags as fl
+from ..core import particles as cp
+from ..core import solver as slv
+from ..core.domain import Domain
+from ..ops import extforces as ext
+from ..ops import extrapolation as xtr
+from ..ops import flip as fo
+from ..ops import apic as ao
+from ..ops import pressure as prs
+
+
+@dataclasses.dataclass(frozen=True)
+class FlipParams:
+    gravity: tuple[float, float, float] = (0.0, -0.002, 0.0)
+    gravity_scale: bool = False      # addGravityNoScale by default
+    flip_ratio: float = 0.97
+    integration_mode: int = 2        # IntRK4
+    apic: bool = False               # affine transfers instead of FLIP blend
+    ghost_fluid: bool = False        # build particle levelset for surface BCs
+    radius_factor: float = 1.0
+    cg_accuracy: float = 1e-3
+    cg_max_iter_fac: float = 1.5
+    preconditioner: int = prs.PcNone
+    extrap_weight_dist: int = 2
+    extrap_vel_dist: int = 4
+    adaptive_dt: bool = False
+    cfl: float = 1.0
+    dt_min: float = 1e-4
+    dt_max: float = 1.0
+    frame_length: float = 1.0
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FlipState:
+    flags: jnp.ndarray
+    vel: jnp.ndarray
+    vel_old: jnp.ndarray
+    pressure: jnp.ndarray
+    phi: jnp.ndarray
+    parts: cp.Particles
+    pvel: jnp.ndarray                # (N,3)
+    cpx: jnp.ndarray                 # (N,3) APIC affine rows (zeros for FLIP)
+    cpy: jnp.ndarray
+    cpz: jnp.ndarray
+    ts: slv.TimeState
+
+
+def make_dam_state(dom: Domain, params: FlipParams,
+                   dam_frac=(0.4, 0.6, 1.0), discretization: int = 2,
+                   randomness: float = 0.05, boundary_width: int = 0,
+                   dt: float = 0.5) -> FlipState:
+    """Breaking-dam setup (flip01_simple.py:29-38)."""
+    import numpy as np
+    from ..core.shapes import Box
+
+    flags_np = np.asarray(fl.init_domain(dom, boundary_width))
+    sx, sy, sz = dom.size
+    box = Box(p0=(0, 0, 0), p1=(sx * dam_frac[0], sy * dam_frac[1],
+                                sz * dam_frac[2]), dim=dom.dim)
+    phi0 = box.compute_levelset(dom)
+    flags0 = fl.update_from_levelset(jnp.asarray(flags_np), phi0, 1e10)
+    parts = cp.sample_flags_with_particles(np.asarray(flags0), dom,
+                                           discretization, randomness)
+    n = parts.capacity
+    return FlipState(
+        flags=flags0,
+        vel=jnp.zeros((3,) + dom.shape, jnp.float32),
+        vel_old=jnp.zeros((3,) + dom.shape, jnp.float32),
+        pressure=jnp.zeros(dom.shape, jnp.float32),
+        phi=jnp.full(dom.shape, 0.5, jnp.float32),
+        parts=parts,
+        pvel=jnp.zeros((n, 3), jnp.float32),
+        cpx=jnp.zeros((n, 3), jnp.float32),
+        cpy=jnp.zeros((n, 3), jnp.float32),
+        cpz=jnp.zeros((n, 3), jnp.float32),
+        ts=slv.TimeState.create(dt),
+    )
+
+
+def flip_step(state: FlipState, dom: Domain, params: FlipParams) -> FlipState:
+    flags, vel = state.flags, state.vel
+    parts, pvel = state.parts, state.pvel
+    ts = state.ts
+
+    if params.adaptive_dt:
+        max_vel = jnp.sqrt(jnp.max(vel[0] ** 2 + vel[1] ** 2 + vel[2] ** 2))
+        ts = slv.adapt_timestep(ts, max_vel, params.cfl, params.dt_min,
+                                params.dt_max, params.frame_length)
+    dt = ts.dt
+
+    # particle advection (RK4, keep particles, bisect out of obstacles)
+    parts = cp.advect_in_grid(parts, flags, vel, dt, dom,
+                              params.integration_mode,
+                              delete_in_obstacle=False,
+                              stop_in_obstacle=True)
+
+    # p2g
+    if params.apic:
+        vel, weight = ao.apic_map_parts_to_mac(parts, pvel, state.cpx,
+                                               state.cpy, state.cpz, flags,
+                                               dom)
+    else:
+        vel, weight = fo.map_parts_to_mac(parts, pvel, flags, dom)
+    vel_old = vel
+    vel, _ = xtr.extrapolate_mac_from_weight(vel, weight, dom,
+                                             params.extrap_weight_dist)
+    flags = fo.mark_fluid_cells(parts, flags, dom)
+
+    vel = ext.add_gravity(flags, vel, params.gravity, dt, dom,
+                          scale=params.gravity_scale)
+
+    phi = state.phi
+    if params.ghost_fluid:
+        phi = fo.union_particle_levelset(parts, flags, dom,
+                                         params.radius_factor)
+        phi = xtr.extrapolate_ls_simple(phi, dom, distance=4, inside=True)
+
+    vel = ext.set_wall_bcs(flags, vel, dom)
+    vel, pressure, _, _, _ = prs.solve_pressure(
+        vel, flags, dom, cg_accuracy=params.cg_accuracy,
+        phi=phi if params.ghost_fluid else None,
+        cg_max_iter_fac=params.cg_max_iter_fac,
+        preconditioner=params.preconditioner)
+    vel = ext.set_wall_bcs(flags, vel, dom)
+    vel = xtr.extrapolate_mac_simple(flags, vel, dom, params.extrap_vel_dist)
+
+    # g2p velocity update
+    if params.apic:
+        pvel, cpx, cpy, cpz = ao.apic_map_mac_to_parts(
+            parts, vel, flags, dom,
+            old=(pvel, state.cpx, state.cpy, state.cpz))
+    else:
+        pvel = fo.flip_velocity_update(parts, pvel, flags, vel, vel_old,
+                                       params.flip_ratio)
+        cpx, cpy, cpz = state.cpx, state.cpy, state.cpz
+
+    ts = slv.step(ts, params.frame_length)
+    return FlipState(flags=flags, vel=vel, vel_old=vel_old,
+                     pressure=pressure, phi=phi, parts=parts, pvel=pvel,
+                     cpx=cpx, cpy=cpy, cpz=cpz, ts=ts)
+
+
+@partial(jax.jit, static_argnames=("dom", "params", "n_steps"))
+def flip_run(state: FlipState, dom: Domain, params: FlipParams,
+             n_steps: int) -> FlipState:
+    def body(s, _):
+        return flip_step(s, dom, params), None
+
+    state, _ = jax.lax.scan(body, state, None, length=n_steps)
+    return state
