@@ -27,6 +27,8 @@ from .scene.papi import (
     BasicParticleSystem, ParticleIndexSystem, PdataReal, PdataInt, PdataVec3,
 )
 
+from .scene.ops2 import *  # noqa: F401,F403
+
 VecGrid = Vec3Grid  # manta alias (grid.h:252)
 
 __version__ = "0.1.0"

@@ -1,0 +1,205 @@
+"""Scene wrappers for the breadth plugins: wavelet turbulence, fire, waves,
+k-epsilon (reference plugin files waveletturbulence.cpp, fire.cpp, waves.cpp,
+kepsilon.cpp)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..ops import fire as fir
+from ..ops import kepsilon as kep
+from ..ops import turbulence as tur
+from ..ops import waves as wav
+from .api import (FlagGrid, LevelsetGrid, MACGrid, NoiseField, RealGrid,
+                  Vec3Grid, mantaMsg)
+
+
+def _t(grid):
+    return grid.solver.timeTotal * grid.dom.dx
+
+
+# ---------------------------------------------------------------------------
+# wavelet turbulence
+
+def interpolateGrid(target: RealGrid, source: RealGrid, scale=(1, 1, 1),
+                    offset=(0, 0, 0), size=(-1, -1, -1), orderSpace: int = 1):
+    target.data = tur.interpolate_grid(target.dom, source.data, source.dom,
+                                       tuple(scale), tuple(offset))
+
+
+def interpolateGridVec3(target: Vec3Grid, source: Vec3Grid, scale=(1, 1, 1),
+                        offset=(0, 0, 0), size=(-1, -1, -1),
+                        orderSpace: int = 1):
+    target.data = tur.interpolate_grid_vec3(target.dom, source.data,
+                                            source.dom, tuple(scale),
+                                            tuple(offset))
+
+
+def interpolateMACGrid(target: MACGrid, source: MACGrid, scale=(1, 1, 1),
+                       offset=(0, 0, 0), size=(-1, -1, -1),
+                       orderSpace: int = 1):
+    target.data = tur.interpolate_mac_grid(target.dom, source.data,
+                                           source.dom, tuple(scale),
+                                           tuple(offset))
+
+
+def applySimpleNoiseVec3(flags: FlagGrid, target: Vec3Grid,
+                         noise: NoiseField, scale: float = 1.0, weight=None):
+    target.data = tur.apply_simple_noise_vec3(
+        flags.data, target.data, noise._n, flags.dom, scale,
+        weight.data if weight is not None else None, _t(flags))
+
+
+def applySimpleNoiseReal(flags: FlagGrid, target: RealGrid,
+                         noise: NoiseField, scale: float = 1.0, weight=None):
+    target.data = tur.apply_simple_noise_real(
+        flags.data, target.data, noise._n, flags.dom, scale,
+        weight.data if weight is not None else None, _t(flags))
+
+
+def applyNoiseVec3(flags: FlagGrid, target: Vec3Grid, noise: NoiseField,
+                   scale: float = 1.0, scaleSpatial: float = 1.0, weight=None,
+                   uv=None):
+    target.data = tur.apply_noise_vec3(
+        flags.data, target.data, noise._n, flags.dom, scale, scaleSpatial,
+        weight.data if weight is not None else None,
+        weight.dom if weight is not None else None,
+        uv.data if uv is not None else None,
+        uv.dom if uv is not None else None, _t(flags))
+
+
+def computeEnergy(flags: FlagGrid, vel: MACGrid, energy: RealGrid):
+    energy.data = tur.compute_energy(flags.data, vel.data, flags.dom)
+
+
+def computeWaveletCoeffs(input: RealGrid):
+    input.data = tur.compute_wavelet_coeffs(input.data, input.dom)
+
+
+def computeVorticity(vel: MACGrid, vorticity: Vec3Grid, norm=None):
+    curl, n = tur.compute_vorticity(vel.data, vel.dom)
+    vorticity.data = curl
+    if norm is not None:
+        norm.data = n
+
+
+def computeStrainRateMag(vel: MACGrid, mag: RealGrid):
+    mag.data = tur.compute_strain_rate_mag(vel.data, vel.dom)
+
+
+def getCurl(vel: MACGrid, vort: RealGrid, comp: int):
+    vort.data = tur.get_curl(vel.data, vel.dom, comp)
+
+
+def resetUvGrid(target: Vec3Grid, offset=None):
+    target.data = tur.reset_uv_grid(target.dom,
+                                    tuple(offset) if offset else (0, 0, 0))
+
+
+def getUvWeight(uv: Vec3Grid):
+    """Reference stores the ramp weight in uv[0][0] (grid.cpp:576); we keep
+    it in a side attribute set by updateUvWeight."""
+    return getattr(uv, "_uv_weight", 1.0)
+
+
+def updateUvWeight(resetTime: float, index: int, numUvs: int, uv: Vec3Grid,
+                   offset=None):
+    new_uv, w = tur.update_uv_weight(
+        resetTime, index, numUvs, uv.data, uv.solver.timeTotal, uv.dom,
+        tuple(offset) if offset else (0, 0, 0))
+    uv.data = new_uv
+    uv._uv_weight = float(w)
+
+
+def extrapolateSimpleFlags(flags: FlagGrid, val, distance: int = 4,
+                           flagFrom: int = 1, flagTo: int = 2):
+    val.data = tur.extrapolate_simple_flags(flags.data, val.data, flags.dom,
+                                            distance, flagFrom, flagTo)
+
+
+# ---------------------------------------------------------------------------
+# fire
+
+def processBurn(fuel: RealGrid, density: RealGrid, react: RealGrid, red=None,
+                green=None, blue=None, heat=None, burningRate: float = 0.75,
+                flameSmoke: float = 1.0, ignitionTemp: float = 1.25,
+                maxTemp: float = 1.75,
+                flameSmokeColor=(0.7, 0.7, 0.7)):
+    outs = fir.process_burn(
+        fuel.data, density.data, react.data, fuel.solver.timestep, fuel.dom,
+        red.data if red is not None else None,
+        green.data if green is not None else None,
+        blue.data if blue is not None else None,
+        heat.data if heat is not None else None,
+        burningRate, flameSmoke, ignitionTemp, maxTemp,
+        tuple(flameSmokeColor))
+    fuel.data, density.data, react.data = outs[0], outs[1], outs[2]
+    for grid, new in zip((red, green, blue, heat), outs[3:]):
+        if grid is not None and new is not None:
+            grid.data = new
+
+
+def updateFlame(react: RealGrid, flame: RealGrid):
+    flame.data = fir.update_flame(react.data, flame.data, react.dom)
+
+
+# ---------------------------------------------------------------------------
+# waves
+
+def calcSecDeriv2d(v: RealGrid, curv: RealGrid):
+    curv.data = wav.calc_sec_deriv_2d(v.data, v.dom)
+
+
+def totalSum(height: RealGrid):
+    return float(wav.total_sum(height.data, height.dom))
+
+
+def normalizeSumTo(height: RealGrid, target: float):
+    height.data = wav.normalize_sum_to(height.data, height.dom, target)
+
+
+def cgSolveWE(flags: FlagGrid, ut: RealGrid, utm1: RealGrid, out: RealGrid,
+              crankNic: bool = False, cSqr: float = 0.25,
+              cgMaxIterFac: float = 1.5, cgAccuracy: float = 1e-5):
+    new_ut, new_utm1, iters, rn = wav.cg_solve_wave_eq(
+        flags.data, ut.data, utm1.data, flags.solver.timestep, flags.dom,
+        crankNic, cSqr, cgMaxIterFac, cgAccuracy)
+    out.data = new_ut
+    utm1.data = new_utm1
+    ut.data = new_ut
+    mantaMsg(f"cgSolveWaveEq iterations:{int(iters)}, res:{float(rn):g}", 1)
+
+
+# ---------------------------------------------------------------------------
+# k-epsilon
+
+def KEpsilonComputeProduction(vel: MACGrid, k: RealGrid, eps: RealGrid,
+                              prod: RealGrid, nuT: RealGrid, strain=None,
+                              pscale: float = 1.0):
+    new_k, new_eps, p, nu, s = kep.compute_production(vel.data, k.data,
+                                                      eps.data, vel.dom,
+                                                      pscale)
+    k.data, eps.data, prod.data, nuT.data = new_k, new_eps, p, nu
+    if strain is not None:
+        strain.data = s
+
+
+def KEpsilonSources(k: RealGrid, eps: RealGrid, prod: RealGrid):
+    k.data, eps.data = kep.sources(k.data, eps.data, prod.data,
+                                   k.solver.timestep)
+
+
+def KEpsilonBcs(flags: FlagGrid, k: RealGrid, eps: RealGrid, intensity: float,
+                nu: float, fillArea: bool):
+    k.data, eps.data = kep.bcs(flags.data, k.data, eps.data, intensity, nu,
+                               fillArea)
+
+
+def KEpsilonGradientDiffusion(k: RealGrid, eps: RealGrid, nuT: RealGrid,
+                              sigmaU: float = 4.0, vel=None):
+    new_k, new_eps, new_vel = kep.gradient_diffusion(
+        k.data, eps.data, nuT.data, k.solver.timestep, k.dom, sigmaU,
+        vel.data if vel is not None else None)
+    k.data, eps.data = new_k, new_eps
+    if vel is not None and new_vel is not None:
+        vel.data = new_vel
