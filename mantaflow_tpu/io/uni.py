@@ -1,0 +1,241 @@
+"""Mantaflow-compatible file IO: .uni / .raw / .npz / .txt / .obj.
+
+Format-compatible with the reference's zlib-gzipped .uni files
+(``source/fileio/iogrids.cpp``: 'MNT3' magic + 288-byte header
+{dimX,dimY,dimZ,gridType,elementType,bytesPerElement,info[252],dimT,
+timestamp}, payload in C-order (z,y,x[,c]) float32/int32;
+``ioparticles.cpp``: 'PB02' particle blocks of (float3 pos, int flag),
+'PD01' pdata blocks) so files round-trip with the reference and its
+tensorflow/tools/uniio.py readers.
+
+All IO is host-side Python — the TPU framework's state is just arrays, so
+no native IO runtime is needed (SURVEY.md §2.15 item 7).
+"""
+
+from __future__ import annotations
+
+import gzip
+import struct
+import time
+
+import numpy as np
+
+_HEADER_FMT = "iiiiii252siQ"  # MNT3 (v4) header, 288 bytes
+_PART_HEADER_FMT = "iiiiii256sQ"  # PB02/PD01 header, 288 bytes
+
+# GridBase::GridType bits (grid.h:29)
+TypeNone = 0
+TypeInt = 1
+TypeReal = 2
+TypeVec3 = 4
+TypeMAC = 8
+TypeLevelset = 16
+TypeFlags = 32
+
+_INFO = b"mantaflow-tpu"
+
+
+def _element_type(arr, grid_type: int):
+    if arr.dtype == np.int32:
+        return 0, 4
+    if arr.ndim == 3:
+        return 1, 4
+    return 2, 12
+
+
+def write_grid_uni(filename: str, data, grid_type: int = TypeReal):
+    """Write a grid ([z,y,x] scalar/int or (3,z,y,x) vec) as .uni."""
+    arr = np.asarray(data)
+    if arr.ndim == 4:  # (3,z,y,x) -> (z,y,x,3)
+        arr = np.moveaxis(arr, 0, -1)
+    etype, bpe = _element_type(arr, grid_type)
+    if etype == 0:
+        arr = arr.astype(np.int32)
+    else:
+        arr = arr.astype(np.float32)
+    sz, sy, sx = arr.shape[0], arr.shape[1], arr.shape[2]
+    header = struct.pack(_HEADER_FMT, sx, sy, sz, grid_type, etype, bpe,
+                         _INFO.ljust(252, b"\0"), 0, int(time.time()))
+    with gzip.open(filename, "wb", compresslevel=1) as f:
+        f.write(b"MNT3")
+        f.write(header)
+        f.write(np.ascontiguousarray(arr).tobytes())
+
+
+def read_grid_uni(filename: str):
+    """Read a .uni grid; returns (data [z,y,x] or (3,z,y,x), header dict).
+    Accepts MNT2 and MNT3 files (the reference's v3/v4)."""
+    with gzip.open(filename, "rb") as f:
+        magic = f.read(4)
+        if magic == b"MNT3":
+            vals = struct.unpack(_HEADER_FMT, f.read(288))
+            keys = ("dimX", "dimY", "dimZ", "gridType", "elementType",
+                    "bytesPerElement", "info", "dimT", "timestamp")
+        elif magic == b"MNT2":
+            vals = struct.unpack("iiiiii256sQ", f.read(288))
+            keys = ("dimX", "dimY", "dimZ", "gridType", "elementType",
+                    "bytesPerElement", "info", "timestamp")
+        else:
+            raise ValueError(f"unknown uni header {magic!r}")
+        h = dict(zip(keys, vals))
+        raw = f.read()
+    dt = np.int32 if h["elementType"] == 0 else np.float32
+    data = np.frombuffer(raw, dtype=dt)
+    shape = (h["dimZ"], h["dimY"], h["dimX"])
+    if h["elementType"] == 2:
+        data = data.reshape(shape + (3,))
+        data = np.moveaxis(data, -1, 0)  # -> (3,z,y,x)
+    else:
+        data = data.reshape(shape)
+    return data, h
+
+
+def write_particles_uni(filename: str, positions, flags, grid_size):
+    """PB02 particle block: interleaved (float3 pos, int32 flag)."""
+    pos = np.asarray(positions, np.float32)
+    flg = np.asarray(flags, np.int32)
+    n = pos.shape[0]
+    header = struct.pack(_PART_HEADER_FMT, n, grid_size[0], grid_size[1],
+                         grid_size[2], 0, 16, _INFO.ljust(256, b"\0"),
+                         int(time.time()))
+    rec = np.empty((n, 4), np.float32)
+    rec[:, :3] = pos
+    rec[:, 3] = flg.view(np.float32)
+    with gzip.open(filename, "wb", compresslevel=1) as f:
+        f.write(b"PB02")
+        f.write(header)
+        f.write(np.ascontiguousarray(rec).tobytes())
+
+
+def read_particles_uni(filename: str):
+    """Returns (positions (N,3) f32, flags (N,) i32, header dict)."""
+    with gzip.open(filename, "rb") as f:
+        magic = f.read(4)
+        if magic not in (b"PB01", b"PB02"):
+            raise ValueError(f"unknown particle header {magic!r}")
+        vals = struct.unpack(_PART_HEADER_FMT, f.read(288))
+        keys = ("dim", "dimX", "dimY", "dimZ", "elementType",
+                "bytesPerElement", "info", "timestamp")
+        h = dict(zip(keys, vals))
+        raw = f.read()
+    rec = np.frombuffer(raw, np.float32).reshape(h["dim"], 4)
+    pos = rec[:, :3].copy()
+    flg = rec[:, 3].copy().view(np.int32)
+    return pos, flg, h
+
+
+def write_pdata_uni(filename: str, data, grid_size):
+    """PD01 pdata block: per-particle real/int/vec3 channel."""
+    arr = np.asarray(data)
+    n = arr.shape[0]
+    if arr.dtype.kind == "i":
+        etype, bpe = 0, 4
+        arr = arr.astype(np.int32)
+    elif arr.ndim == 1:
+        etype, bpe = 1, 4
+        arr = arr.astype(np.float32)
+    else:
+        etype, bpe = 2, 12
+        arr = arr.astype(np.float32)
+    header = struct.pack(_PART_HEADER_FMT, n, grid_size[0], grid_size[1],
+                         grid_size[2], etype, bpe, _INFO.ljust(256, b"\0"),
+                         int(time.time()))
+    with gzip.open(filename, "wb", compresslevel=1) as f:
+        f.write(b"PD01")
+        f.write(header)
+        f.write(np.ascontiguousarray(arr).tobytes())
+
+
+def read_pdata_uni(filename: str):
+    with gzip.open(filename, "rb") as f:
+        magic = f.read(4)
+        if magic != b"PD01":
+            raise ValueError(f"unknown pdata header {magic!r}")
+        vals = struct.unpack(_PART_HEADER_FMT, f.read(288))
+        keys = ("dim", "dimX", "dimY", "dimZ", "elementType",
+                "bytesPerElement", "info", "timestamp")
+        h = dict(zip(keys, vals))
+        raw = f.read()
+    dt = np.int32 if h["elementType"] == 0 else np.float32
+    data = np.frombuffer(raw, dtype=dt)
+    if h["elementType"] == 2:
+        data = data.reshape(h["dim"], 3)
+    return data.copy(), h
+
+
+# ---------------------------------------------------------------------------
+# other formats (iogrids.cpp raw/txt; iomeshes.cpp obj)
+
+def write_grid_raw(filename: str, data):
+    arr = np.asarray(data)
+    if arr.ndim == 4:
+        arr = np.moveaxis(arr, 0, -1)
+    with gzip.open(filename, "wb", compresslevel=1) as f:
+        f.write(np.ascontiguousarray(arr).tobytes())
+
+
+def read_grid_raw(filename: str, shape, dtype=np.float32, channels=1):
+    with gzip.open(filename, "rb") as f:
+        raw = f.read()
+    data = np.frombuffer(raw, dtype=dtype)
+    if channels == 3:
+        data = data.reshape(tuple(shape) + (3,))
+        return np.moveaxis(data, -1, 0)
+    return data.reshape(tuple(shape))
+
+
+def write_grid_txt(filename: str, data):
+    arr = np.asarray(data)
+    with open(filename, "w") as f:
+        sz, sy, sx = arr.shape[:3]
+        for k in range(sz):
+            for j in range(sy):
+                for i in range(sx):
+                    f.write(f"{arr[k, j, i]}\n")
+
+
+def write_mesh_obj(filename: str, nodes, tris):
+    """Wavefront OBJ (iomeshes.cpp:183): 1-based vertex indices."""
+    with open(filename, "w") as f:
+        f.write("# mantaflow-tpu mesh\n")
+        for p in np.asarray(nodes):
+            f.write(f"v {p[0]} {p[1]} {p[2]}\n")
+        for t in np.asarray(tris):
+            f.write(f"f {t[0] + 1} {t[1] + 1} {t[2] + 1}\n")
+
+
+def read_mesh_obj(filename: str):
+    nodes, tris = [], []
+    with open(filename) as f:
+        for line in f:
+            parts = line.split()
+            if not parts:
+                continue
+            if parts[0] == "v":
+                nodes.append([float(v) for v in parts[1:4]])
+            elif parts[0] == "f":
+                idx = [int(p.split("/")[0]) - 1 for p in parts[1:4]]
+                tris.append(idx)
+    return (np.asarray(nodes, np.float32),
+            np.asarray(tris, np.int32).reshape(-1, 3))
+
+
+def write_mesh_bobj(filename: str, nodes, tris):
+    """Blender binary .bobj.gz (iomeshes.cpp:277): gzipped int32 count +
+    float32 verts, then int32 count + int32 tri indices."""
+    nodes = np.asarray(nodes, np.float32)
+    tris = np.asarray(tris, np.int32)
+    with gzip.open(filename, "wb", compresslevel=1) as f:
+        f.write(struct.pack("i", nodes.shape[0]))
+        f.write(np.ascontiguousarray(nodes).tobytes())
+        f.write(struct.pack("i", tris.shape[0]))
+        f.write(np.ascontiguousarray(tris).tobytes())
+
+
+def read_mesh_bobj(filename: str):
+    with gzip.open(filename, "rb") as f:
+        (nv,) = struct.unpack("i", f.read(4))
+        nodes = np.frombuffer(f.read(nv * 12), np.float32).reshape(nv, 3)
+        (nt,) = struct.unpack("i", f.read(4))
+        tris = np.frombuffer(f.read(nt * 12), np.int32).reshape(nt, 3)
+    return nodes.copy(), tris.copy()
