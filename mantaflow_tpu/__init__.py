@@ -28,6 +28,9 @@ from .scene.papi import (
 )
 
 from .scene.ops2 import *  # noqa: F401,F403
+from .scene.mesh_api import (  # noqa: F401
+    Mesh, smoothMesh, subdivideMesh, killSmallComponents,
+)
 from .scene.io_api import (  # noqa: F401
     save, load, save_checkpoint, load_checkpoint, projectPpmFull,
 )

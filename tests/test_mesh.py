@@ -1,0 +1,83 @@
+"""Mesh subsystem: surface extraction, advection, mesh<->grid, topology ops."""
+import numpy as np
+
+from mantaflow_tpu import *
+from mantaflow_tpu.core import mesh as cmesh
+
+
+def test_marching_tets_sphere():
+    res = 32
+    s = Solver(name="m", gridSize=vec3(res, res, res))
+    phi = Sphere(s, center=vec3(16, 16, 16), radius=8).computeLevelset()
+    mesh = s.create(Mesh)
+    phi.createMesh(mesh)
+    assert mesh.numTris() > 100
+    # vertices lie near the sphere surface
+    r = np.linalg.norm(mesh.nodes - 16.0, axis=1)
+    assert abs(r.mean() - 8.0) < 0.2
+    assert np.percentile(np.abs(r - 8.0), 95) < 0.5
+    # watertight-ish: surface area near analytic 4*pi*r^2
+    a, b, c = (mesh.nodes[mesh.tris[:, i]] for i in range(3))
+    area = 0.5 * np.linalg.norm(np.cross(b - a, c - a), axis=1).sum()
+    assert abs(area - 4 * np.pi * 64) / (4 * np.pi * 64) < 0.15
+
+
+def test_mesh_advect_and_io(tmp_path):
+    res = 16
+    s = Solver(name="m", gridSize=vec3(res, res, res))
+    s.timestep = 1.0
+    phi = Sphere(s, center=vec3(8, 8, 8), radius=4).computeLevelset()
+    mesh = s.create(Mesh)
+    phi.createMesh(mesh)
+    vel = s.create(MACGrid)
+    vel.setConst(vec3(0.5, 0, 0))
+    flags = s.create(FlagGrid)
+    flags.initDomain()
+    flags.fillGrid()
+    x0 = mesh.nodes[:, 0].mean()
+    mesh.advectInGrid(flags=flags, vel=vel, integrationMode=IntRK4)
+    # the zl fork's RK4 weights are (2,2,2,1)/6 (integrator.h:53-72), so a
+    # constant field advances 7/6 * v * dt
+    assert abs(mesh.nodes[:, 0].mean() - x0 - 0.5 * 7 / 6) < 0.05
+
+    fn = str(tmp_path / "m.bobj.gz")
+    mesh.save(fn)
+    m2 = s.create(Mesh)
+    m2.load(fn)
+    assert m2.numTris() == mesh.numTris()
+
+
+def test_mesh_to_levelset_roundtrip():
+    """shape -> mesh -> levelset reproduces the inside region."""
+    res = 24
+    s = Solver(name="m", gridSize=vec3(res, res, res))
+    ball = Sphere(s, center=vec3(12, 12, 12), radius=5)
+    phi0 = ball.computeLevelset()
+    mesh = s.create(Mesh)
+    phi0.createMesh(mesh)
+    phi1 = s.create(LevelsetGrid)
+    mesh.computeLevelset(phi1)
+    a = phi0.to_numpy() < 0
+    b = phi1.to_numpy() < 0
+    iou = (a & b).sum() / max((a | b).sum(), 1)
+    assert iou > 0.85
+
+
+def test_topology_ops():
+    res = 24
+    s = Solver(name="m", gridSize=vec3(res, res, res))
+    phi = Sphere(s, center=vec3(8, 12, 12), radius=4).computeLevelset()
+    phi2 = Sphere(s, center=vec3(18, 12, 12), radius=1.2).computeLevelset()
+    phi.join(phi2)
+    mesh = s.create(Mesh)
+    phi.createMesh(mesh)
+    t0 = mesh.numTris()
+    killSmallComponents(mesh, elements=300)
+    assert 0 < mesh.numTris() < t0  # the small blob was removed
+
+    smoothMesh(mesh, strength=1.0, steps=2)
+    assert np.isfinite(mesh.nodes).all()
+
+    n0 = mesh.numNodes()
+    subdivideMesh(mesh, maxLength=0.7)
+    assert mesh.numNodes() > n0
