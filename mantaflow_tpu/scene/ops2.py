@@ -203,3 +203,184 @@ def KEpsilonGradientDiffusion(k: RealGrid, eps: RealGrid, nuT: RealGrid,
     k.data, eps.data = new_k, new_eps
     if vel is not None and new_vel is not None:
         vel.data = new_vel
+
+
+# ---------------------------------------------------------------------------
+# pressure sub-steps (pressure.cpp:277/:312/:457, used by zflip Correct19)
+
+def computePressureRhs(rhs: RealGrid, vel: MACGrid, pressure: RealGrid,
+                       flags: FlagGrid, cgAccuracy: float = 1e-3, phi=None,
+                       perCellCorr=None, fractions=None, obvel=None,
+                       gfClamp: float = 1e-4, cgMaxIterFac: float = 1.5,
+                       precondition: bool = True, preconditioner: int = 1,
+                       enforceCompatibility: bool = False,
+                       useL2Norm: bool = False,
+                       zeroPressureFixing: bool = False):
+    from ..ops import pressure as prs
+    rhs.data = prs.make_rhs(
+        flags.data, vel.data, flags.dom,
+        perCellCorr.data if perCellCorr is not None else None,
+        fractions.data if fractions is not None else None,
+        obvel.data if obvel is not None else None,
+        phi.data if phi is not None else None, None, 0.0, gfClamp,
+        enforceCompatibility)
+
+
+def solvePressureSystem(rhs: RealGrid, vel: MACGrid, pressure: RealGrid,
+                        flags: FlagGrid, cgAccuracy: float = 1e-3, phi=None,
+                        perCellCorr=None, fractions=None,
+                        gfClamp: float = 1e-4, cgMaxIterFac: float = 1.5,
+                        precondition: bool = True, preconditioner: int = 1,
+                        enforceCompatibility: bool = False,
+                        useL2Norm: bool = False,
+                        zeroPressureFixing: bool = False):
+    from ..ops import pressure as prs
+    if not precondition:
+        preconditioner = prs.PcNone
+    stencil = prs.make_laplace_stencil(
+        flags.data, flags.dom,
+        fractions.data if fractions is not None else None,
+        phi.data if phi is not None else None, gfClamp)
+    r = rhs.data
+    if zeroPressureFixing or cgAccuracy < 1e-7:
+        r, stencil = prs._fix_pressure(flags.data, r, stencil, flags.dom)
+    p, iters, rn = prs.solve_pressure_system(
+        r, flags.data, flags.dom, stencil, cgAccuracy, cgMaxIterFac,
+        preconditioner, useL2Norm)
+    pressure.data = p
+    mantaMsg(f"solvePressureSystem iterations:{int(iters)}, "
+             f"residual:{float(rn):g}", 2)
+
+
+def correctVelocity(vel: MACGrid, pressure: RealGrid, flags: FlagGrid,
+                    cgAccuracy: float = 1e-3, phi=None, perCellCorr=None,
+                    fractions=None, gfClamp: float = 1e-4, **kw):
+    from ..ops import pressure as prs
+    vel.data = prs.correct_velocity(
+        flags.data, vel.data, pressure.data, flags.dom,
+        phi.data if phi is not None else None, gfClamp)
+
+
+# ---------------------------------------------------------------------------
+# implicit density projection (implicitdensityprojection.cpp; Correct19)
+
+def markFluidAndBoundaryCells(particles, flags: FlagGrid, deltaX: MACGrid,
+                              phiObs: RealGrid, ptype=None, exclude: int = 0):
+    from ..ops import idp
+    f, d = idp.mark_fluid_and_boundary_cells(
+        particles.parts, flags.data, phiObs.data, flags.dom,
+        ptype.data if ptype is not None else None, exclude)
+    flags.data = f
+    deltaX.data = d
+
+
+def mapMassToGrid(flags: FlagGrid, density: RealGrid, parts, source,
+                  deltaX: MACGrid, phiObs: RealGrid, dt: float,
+                  particleMass: float, noDensityClamping: bool = False):
+    from ..ops import idp
+    f, rho, d = idp.map_mass_to_grid(parts.parts, flags.data, phiObs.data,
+                                     flags.dom, dt, particleMass,
+                                     noDensityClamping)
+    flags.data = f
+    density.data = rho
+    deltaX.data = d
+
+
+def computeDeltaX(deltaX: MACGrid, Lambda: RealGrid, flags: FlagGrid):
+    from ..ops import idp
+    deltaX.data = idp.compute_delta_x(Lambda.data, flags.data, flags.dom)
+
+
+def mapMACToPartPositions(flags: FlagGrid, deltaX: MACGrid, parts, dt: float,
+                          ptype=None, exclude: int = 0,
+                          mapQuadratic: bool = False):
+    from ..ops import idp
+    parts.parts = idp.map_mac_to_part_positions(
+        parts.parts, deltaX.data, flags.data, flags.dom, dt,
+        ptype.data if ptype is not None else None, exclude)
+
+
+def resampeOverfullCells(vel: MACGrid, density: RealGrid, index, indexSys,
+                         part, pVel, dt: float):
+    from ..ops import idp
+    p, pv, d = idp.resample_overfull_cells(part.parts, pVel.data, vel.data,
+                                           density.data, vel.dom, dt)
+    part.parts = p
+    pVel.data = pv
+    density.data = d
+
+
+def copyFlagsToFlags(source: FlagGrid, target: FlagGrid):
+    target.data = source.data
+
+
+# ---------------------------------------------------------------------------
+# zl fork extras (grid.h:380-382, grid.cpp:1008-1030, extforces.cpp:371)
+
+def set_wall_bcs2(flags: FlagGrid, vel: MACGrid, obvel: MACGrid):
+    """set_wall_bcs2 (extforces.cpp:371): set face velocity to obvel wherever
+    a fluid cell meets an obstacle across the face (Bridson fig. 5.2)."""
+    from ..core import flags as flg
+    from ..core.masks import axis_index, shift as _shift
+    f, v, ob = flags.data, vel.data, obvel.data
+    fluid = flg.is_fluid(f)
+    obst = flg.is_obstacle(f)
+    comps = []
+    dom = flags.dom
+    for c, ax in enumerate(["x", "y", "z"]):
+        if c == 2 and not dom.is3d:
+            comps.append(jnp.zeros_like(v[2]))
+            continue
+        nb_fluid = _shift(fluid, -1, ax)
+        nb_obst = _shift(obst, -1, ax)
+        guard = axis_index(dom, ax) > 0
+        hit = guard & (nb_fluid | fluid) & (nb_obst | obst)
+        comps.append(jnp.where(hit, ob[c], v[c]))
+    vel.data = jnp.stack(comps)
+
+
+def copyMACData(source: MACGrid, target: MACGrid, flags: FlagGrid, flag: int,
+                bnd: int):
+    from ..core.masks import interior_mask
+    m = ((flags.data & flag) != 0) & interior_mask(flags.dom, bnd)
+    target.data = jnp.where(m[None], source.data, target.data)
+
+
+def markSurfaceCells(flags: FlagGrid):
+    """FlagGrid::mark_surface (grid.cpp:931): flag fluid cells bordering
+    non-fluid (incl. diagonals) with TypeSurface."""
+    from ..core import flags as flg
+    from ..core.masks import shift as _shift
+    f = flags.data
+    fluid = flg.is_fluid(f)
+    dom = flags.dom
+    nonfluid_nb = jnp.zeros(dom.shape, dtype=bool)
+    zr = (-1, 0, 1) if dom.is3d else (0,)
+    for dz in zr:
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dx == 0 and dy == 0 and dz == 0:
+                    continue
+                nb = _shift(_shift(_shift(fluid, dx, "x"), dy, "y"), dz, "z")
+                nonfluid_nb = nonfluid_nb | ~nb
+    surf = fluid & nonfluid_nb
+    flags.data = jnp.where(surf, f | 128, f & ~128)
+
+
+def clearObstacle(flags: FlagGrid, include_boundary: bool = False):
+    """FlagGrid::clear_obstacle (grid.h:381)."""
+    from ..core import flags as flg
+    from ..core.masks import interior_mask
+    f = flags.data
+    m = flg.is_obstacle(f)
+    if not include_boundary:
+        m = m & interior_mask(flags.dom, 1)
+    flags.data = jnp.where(m, (f & ~flg.TypeObstacle) | flg.TypeEmpty, f)
+
+
+def clampNorm(grid, max_norm: float):
+    """Grid::clamp_norm (grid.h:191) for Vec3/MAC grids."""
+    v = grid.data
+    n = jnp.sqrt(v[0] ** 2 + v[1] ** 2 + v[2] ** 2)
+    scale = jnp.where(n > max_norm, max_norm / jnp.maximum(n, 1e-30), 1.0)
+    grid.data = v * scale[None]
