@@ -97,6 +97,16 @@ class Box(Shape):
             raise ValueError("Box: specify either p0,p1 or size,center")
         self.dim = dim
 
+    @property
+    def center(self):
+        return tuple(0.5 * (a + b) for a, b in zip(self.p0, self.p1))
+
+    @center.setter
+    def center(self, c):
+        half = tuple(0.5 * (b - a) for a, b in zip(self.p0, self.p1))
+        self.p0 = tuple(ci - h for ci, h in zip(c, half))
+        self.p1 = tuple(ci + h for ci, h in zip(c, half))
+
     def is_inside(self, px, py, pz):
         m = ((px >= self.p0[0]) & (px <= self.p1[0])
              & (py >= self.p0[1]) & (py <= self.p1[1]))

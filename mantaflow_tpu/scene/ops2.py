@@ -384,3 +384,54 @@ def clampNorm(grid, max_norm: float):
     n = jnp.sqrt(v[0] ** 2 + v[1] ** 2 + v[2] ** 2)
     scale = jnp.where(n > max_norm, max_norm / jnp.maximum(n, 1e-30), 1.0)
     grid.data = v * scale[None]
+
+
+# ---------------------------------------------------------------------------
+# 2nd-order obstacles + moving obstacles (initplugins.cpp:356-501,
+# movingobs.cpp)
+
+def updateFractions(flags: FlagGrid, phiObs: RealGrid, fractions: MACGrid,
+                    boundaryWidth: int = 0, fracThreshold: float = 0.01):
+    from ..ops import obstacles as obs
+    fractions.data = obs.update_fractions(flags.data, phiObs.data, flags.dom,
+                                          boundaryWidth, fracThreshold)
+
+
+def setObstacleFlags(flags: FlagGrid, phiObs: RealGrid, fractions=None,
+                     phiOut=None, phiIn=None, boundaryWidth: int = 1):
+    from ..ops import obstacles as obs
+    flags.data = obs.set_obstacle_flags(
+        flags.data, phiObs.data, flags.dom,
+        fractions.data if fractions is not None else None,
+        phiOut.data if phiOut is not None else None,
+        phiIn.data if phiIn is not None else None, boundaryWidth)
+
+
+def initVortexVelocity(phiObs: RealGrid, vel: MACGrid, center,
+                       radius: float):
+    from ..ops import obstacles as obs
+    vel.data = obs.init_vortex_velocity(phiObs.data, phiObs.dom,
+                                        tuple(center), radius)
+
+
+class MovingObstacle:
+    """Scene wrapper for linear-motion obstacles (movingobs.h:23-31)."""
+
+    def __init__(self, solver, emptyType: int = 4):
+        from ..ops.obstacles import MovingObstacleState
+        self.solver = solver
+        self._st = MovingObstacleState(solver.domain, emptyType)
+
+    def add(self, shape):
+        self._st.add(shape.shape)
+
+    def moveLinear(self, t, t0, t1, p0, p1, flags, vel, smooth: bool = True):
+        f, v = self._st.move_linear(t, t0, t1, tuple(p0), tuple(p1),
+                                    flags.data, vel.data,
+                                    self.solver.timestep, smooth)
+        flags.data = f
+        vel.data = v
+
+    def projectOutside(self, flags, flip):
+        flip.parts = self._st.project_outside(flags.data, flip.parts,
+                                              self.solver.domain)
