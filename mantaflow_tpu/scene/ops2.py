@@ -387,6 +387,52 @@ def clampNorm(grid, max_norm: float):
 
 
 # ---------------------------------------------------------------------------
+# fluid guiding (fluidguiding.cpp)
+
+def getSpiralVelocity(flags: FlagGrid, vel: MACGrid, strength: float = 1.0,
+                      with3D: bool = False):
+    from ..ops import guiding as gd
+    vel.data = gd.get_spiral_velocity(flags.dom, strength, with3D)
+
+
+def setGradientYWeight(W: RealGrid, minY: int, maxY: int, valAtMin: float,
+                       valAtMax: float):
+    from ..ops import guiding as gd
+    W.data = gd.set_gradient_y_weight(W.data, W.dom, minY, maxY, valAtMin,
+                                      valAtMax)
+
+
+def PD_fluid_guiding(vel: MACGrid, velT: MACGrid, pressure: RealGrid,
+                     flags: FlagGrid, weight: RealGrid, blurRadius: int = 5,
+                     theta: float = 1.0, tau: float = 1.0, sigma: float = 1.0,
+                     epsRel: float = 1e-3, epsAbs: float = 1e-3,
+                     maxIters: int = 200, phi=None, perCellCorr=None,
+                     fractions=None, obvel=None, gfClamp: float = 1e-4,
+                     cgMaxIterFac: float = 1.5, cgAccuracy: float = 1e-3,
+                     preconditioner: int = 1,
+                     zeroPressureFixing: bool = False, curv=None,
+                     surfTens: float = 0.0):
+    from ..ops import guiding as gd
+    from ..ops import pressure as prs
+    pc = prs.PcNone if preconditioner == 1 else preconditioner
+    v, p, iters = gd.pd_fluid_guiding(
+        vel.data, velT.data, flags.data, weight.data, flags.dom, blurRadius,
+        theta, tau, sigma, epsRel, epsAbs, maxIters, cgAccuracy, cgMaxIterFac,
+        phi.data if phi is not None else None, pc, zeroPressureFixing)
+    vel.data = v
+    pressure.data = p
+    mantaMsg(f"PD_fluid_guiding iterations:{int(iters)}", 1)
+
+
+def releaseBlurPrecomp():
+    pass  # kernels are built per call; nothing cached globally
+
+
+def releaseMG(solver=None):
+    pass  # MG hierarchies are rebuilt inside each jitted solve
+
+
+# ---------------------------------------------------------------------------
 # 2nd-order obstacles + moving obstacles (initplugins.cpp:356-501,
 # movingobs.cpp)
 

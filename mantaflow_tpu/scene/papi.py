@@ -471,6 +471,94 @@ def extrapolateVec3Simple(vel: Vec3Grid, phi: RealGrid, distance: int = 4,
 
 
 # ---------------------------------------------------------------------------
+# whitewater / secondary particles (plugin/secondaryparticles.cpp)
+
+def flipComputeSecondaryParticlePotentials(
+        potTA: RealGrid, potWC: RealGrid, potKE: RealGrid,
+        neighborRatio: RealGrid, flags: FlagGrid, v: MACGrid, normal,
+        phi: LevelsetGrid, radius: int, tauMinTA: float, tauMaxTA: float,
+        tauMinWC: float, tauMaxWC: float, tauMinKE: float, tauMaxKE: float,
+        scaleFromManta: float, itype: int = 1, jtype: int = 2 | 8 | 16):
+    from ..ops import whitewater as ww
+    ta, wc, ke, nr, nrm = ww.compute_secondary_particle_potentials(
+        flags.data, v.data, phi.data, flags.dom, radius, tauMinTA, tauMaxTA,
+        tauMinWC, tauMaxWC, tauMinKE, tauMaxKE, scaleFromManta, itype, jtype)
+    potTA.data, potWC.data, potKE.data, neighborRatio.data = ta, wc, ke, nr
+    if normal is not None:
+        normal.data = nrm
+
+
+def flipSampleSecondaryParticles(
+        mode: str, flags: FlagGrid, v: MACGrid, pts_sec: BasicParticleSystem,
+        v_sec: PdataVec3, l_sec: PdataReal, lMin: float, lMax: float,
+        potTA: RealGrid, potWC: RealGrid, potKE: RealGrid,
+        neighborRatio: RealGrid, c_s: float, c_b: float, k_ta: float,
+        k_wc: float, dt: float = 0.0, itype: int = 1):
+    from ..ops import whitewater as ww
+    dtv = dt if dt else pts_sec.solver.timestep
+    p, vs, ls = ww.sample_secondary_particles(
+        pts_sec.parts, v_sec.data, l_sec.data, flags.data, v.data,
+        potTA.data, potWC.data, potKE.data, neighborRatio.data, flags.dom,
+        lMin, lMax, c_s, c_b, k_ta, k_wc, dtv, itype=itype)
+    pts_sec.parts = p
+    v_sec.data, l_sec.data = vs, ls
+
+
+def flipUpdateSecondaryParticles(
+        mode: str, pts_sec: BasicParticleSystem, v_sec: PdataVec3,
+        l_sec: PdataReal, f_sec: PdataVec3, flags: FlagGrid, v: MACGrid,
+        neighborRatio: RealGrid, radius: int, gravity, k_b: float,
+        k_d: float, c_s: float, c_b: float, dt: float = 0.0,
+        scale: bool = True, exclude: int = cp.PTRACER,
+        antitunneling: int = 0, itype: int = 1):
+    from ..ops import whitewater as ww
+    dtv = dt if dt else pts_sec.solver.timestep
+    g = tuple(gravity)
+    if scale:
+        g = tuple(c / flags.dom.dx for c in g)
+    p, vs, ls = ww.update_secondary_particles(
+        pts_sec.parts, v_sec.data, l_sec.data, f_sec.data, flags.data,
+        v.data, neighborRatio.data, flags.dom, g, k_b, k_d, c_s, c_b, dtv,
+        exclude, antitunneling, itype)
+    pts_sec.parts = p
+    v_sec.data, l_sec.data = vs, ls
+
+
+def flipDeleteParticlesInObstacle(pts: BasicParticleSystem, flags: FlagGrid):
+    from ..ops import whitewater as ww
+    pts.parts = ww.delete_particles_in_obstacle(pts.parts, flags.data,
+                                                flags.dom)
+
+
+def setFlagsFromLevelset(flags: FlagGrid, phi: LevelsetGrid,
+                         exclude: int = 2, itype: int = 1):
+    from ..ops import whitewater as ww
+    flags.data = ww.set_flags_from_levelset(flags.data, phi.data, exclude,
+                                            itype)
+
+
+def setMACFromLevelset(v: MACGrid, phi: LevelsetGrid, c):
+    from ..ops import whitewater as ww
+    v.data = ww.set_mac_from_levelset(v.data, phi.data, v.dom, tuple(c))
+
+
+def debugGridInfo(flags: FlagGrid, grid: RealGrid, name: str,
+                  itype: int = 1):
+    import numpy as _np
+    from ..core.masks import interior_mask
+    m = _np.asarray(((flags.data & itype) != 0)
+                    & interior_mask(flags.dom, 1))
+    g = _np.asarray(grid.data)
+    vals = g[m]
+    cnt = int(m.sum())
+    pos = int((vals > 0).sum()) if cnt else 0
+    mantaMsg(f"Grid {name}: countFluid {cnt} countLargerZero {pos} "
+             f"sum {vals.sum() if cnt else 0:.4f} "
+             f"avg {(vals.mean() if cnt else 0):.4f} "
+             f"max {(vals.max() if cnt else 0):.4f}", 1)
+
+
+# ---------------------------------------------------------------------------
 # APIC (plugin/apic.cpp)
 
 def apicMapPartsToMAC(flags: FlagGrid, vel: MACGrid,

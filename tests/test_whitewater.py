@@ -1,0 +1,75 @@
+"""Whitewater secondary particles: potentials, sampling, update."""
+import numpy as np
+import jax.numpy as jnp
+
+from mantaflow_tpu import *
+
+
+def test_whitewater_pipeline():
+    res = 24
+    s = Solver(name="w", gridSize=vec3(res, res, res))
+    s.timestep = 1.0
+    flags = s.create(FlagGrid)
+    flags.initDomain()
+    phi = s.create(LevelsetGrid)
+    # fluid pool with a fast-moving surface region
+    pool = Box(s, p0=vec3(1, 1, 1), p1=vec3(res - 1, 10, res - 1))
+    phi.setConst(0.5)
+    phi.join(pool.computeLevelset())
+    flags.updateFromLevelset(phi)
+    vel = s.create(MACGrid)
+    rng = np.random.RandomState(0)
+    v = rng.randn(3, res, res, res).astype(np.float32) * 3.0
+    vel.from_numpy(v)
+
+    potTA = s.create(RealGrid)
+    potWC = s.create(RealGrid)
+    potKE = s.create(RealGrid)
+    nr = s.create(RealGrid)
+    normal = s.create(VecGrid)
+    flipComputeSecondaryParticlePotentials(
+        potTA=potTA, potWC=potWC, potKE=potKE, neighborRatio=nr, flags=flags,
+        v=vel, normal=normal, phi=phi, radius=2, tauMinTA=0.1, tauMaxTA=5.0,
+        tauMinWC=0.1, tauMaxWC=5.0, tauMinKE=0.01, tauMaxKE=5.0,
+        scaleFromManta=1.0 / res)
+    assert potKE.to_numpy().max() > 0  # fast fluid has kinetic potential
+    assert potTA.to_numpy().max() > 0  # shear produces trapped-air potential
+    assert 0 <= nr.to_numpy().max() <= 1.0
+
+    pts_sec = s.create(BasicParticleSystem)
+    v_sec = pts_sec.create(PdataVec3)
+    l_sec = pts_sec.create(PdataReal)
+    f_sec = pts_sec.create(PdataVec3)
+    flipSampleSecondaryParticles(
+        mode="single", flags=flags, v=vel, pts_sec=pts_sec, v_sec=v_sec,
+        l_sec=l_sec, lMin=2.0, lMax=5.0, potTA=potTA, potWC=potWC,
+        potKE=potKE, neighborRatio=nr, c_s=0.3, c_b=0.8, k_ta=40.0,
+        k_wc=40.0)
+    n0 = int(pts_sec.parts.active_mask().sum())
+    assert n0 > 10  # particles were emitted
+
+    from mantaflow_tpu.core.particles import PSPRAY, PBUBBLE, PFOAM
+    types = np.asarray(pts_sec.parts.flags)[
+        np.asarray(pts_sec.parts.active_mask())]
+    assert ((types & (PSPRAY | PBUBBLE | PFOAM)) != 0).all()
+
+    for _ in range(3):
+        flipUpdateSecondaryParticles(
+            mode="euler", pts_sec=pts_sec, v_sec=v_sec, l_sec=l_sec,
+            f_sec=f_sec, flags=flags, v=vel, neighborRatio=nr, radius=2,
+            gravity=vec3(0, -0.003, 0), k_b=0.5, k_d=0.6, c_s=0.3, c_b=0.8,
+            scale=False, antitunneling=2)
+    n1 = int(pts_sec.parts.active_mask().sum())
+    assert n1 <= n0  # lifetimes/obstacles can only remove
+    assert np.isfinite(pts_sec.to_numpy()).all()
+
+    flipDeleteParticlesInObstacle(pts=pts_sec, flags=flags)
+    assert int(pts_sec.parts.active_mask().sum()) <= n1
+
+    # levelset helpers
+    f2 = s.create(FlagGrid)
+    f2.initDomain()
+    setFlagsFromLevelset(flags=f2, phi=phi)
+    assert (np.asarray(f2.data)[5, 5, 5] & FlagFluid) != 0
+    setMACFromLevelset(v=vel, phi=phi, c=vec3(0, 0, 0))
+    assert np.abs(vel.to_numpy()[:, :, 15:, :]).max() < 1e-6  # air zeroed
