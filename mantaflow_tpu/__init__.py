@@ -31,6 +31,12 @@ from .scene.ops2 import *  # noqa: F401,F403
 from .scene.mesh_api import (  # noqa: F401
     Mesh, smoothMesh, subdivideMesh, killSmallComponents,
 )
+from .scene.timing_api import Timings, enableTimings  # noqa: F401
+from .scene.vortex_api import (  # noqa: F401
+    VortexParticleSystem, TurbulenceParticleSystem, VortexSheetMesh,
+    VPseedK41, markAsFixed, vorticitySource, smoothVorticity, VICintegration,
+    densityFromLevelset, texcoordInflow, meshSmokeInflow,
+)
 from .scene.io_api import (  # noqa: F401
     save, load, save_checkpoint, load_checkpoint, projectPpmFull,
 )

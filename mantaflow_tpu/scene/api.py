@@ -512,17 +512,7 @@ class Solver:
 FluidSolver = Solver
 
 
-class Timings:
-    """Per-op timing registry stub (source/timing.h). Under async XLA
-    dispatch per-op host timing is not meaningful; use jax.profiler traces.
-    Kept for scene compatibility."""
-
-    def display(self):
-        mantaMsg("Timings: use jax.profiler for accurate per-op TPU timing")
-
-    def saveMean(self, filename):
-        with open(filename, "w") as f:
-            f.write("# use jax.profiler traces for per-op TPU timing\n")
+from .timing_api import Timings  # noqa: E402  (real registry)
 
 
 # ---------------------------------------------------------------------------

