@@ -31,6 +31,10 @@ from .scene.ops2 import *  # noqa: F401,F403
 from .scene.mesh_api import (  # noqa: F401
     Mesh, smoothMesh, subdivideMesh, killSmallComponents,
 )
+from .scene.api import (  # noqa: F401
+    Grid4Base, Grid4Real, Grid4Int, Grid4Vec3, Grid4Vec4, getSliceFrom4d,
+    setSliceTo4d, interpolateGrid4d,
+)
 from .scene.timing_api import Timings, enableTimings  # noqa: F401
 from .scene.vortex_api import (  # noqa: F401
     VortexParticleSystem, TurbulenceParticleSystem, VortexSheetMesh,

@@ -82,6 +82,68 @@ def interpol_component(mac, c: int, pos_x, pos_y, pos_z):
     return interpol(mac[c], pos_x, pos_y, pos_z)
 
 
+def _cubic_weights(t):
+    """cubicInterp (util/interpolHigh.h:20-38) expressed as four basis
+    weights for samples p[-1..2]: the Hermite form with central-difference
+    slopes (no monotonicity clamp, matching the reference)."""
+    t2 = t * t
+    t3 = t2 * t
+    w0 = -0.5 * t3 + t2 - 0.5 * t
+    w1 = 1.5 * t3 - 2.5 * t2 + 1.0
+    w2 = -1.5 * t3 + 2.0 * t2 + 0.5 * t
+    w3 = 0.5 * t3 - 0.5 * t2
+    return (w0, w1, w2, w3)
+
+
+def interpol_cubic(data, pos_x, pos_y, pos_z):
+    """Cell-centered cubic (Catmull-Rom) lookup (interpolCubic,
+    interpolHigh.h:77-187); falls back to linear within one cell of the
+    border, exactly as the reference does."""
+    sz, sy, sx = data.shape[-3:]
+    linear = interpol(data, pos_x, pos_y, pos_z)
+
+    px = pos_x - 0.5
+    py = pos_y - 0.5
+    pz = pos_z - 0.5
+    x1 = px.astype(jnp.int32)
+    y1 = py.astype(jnp.int32)
+    z1 = pz.astype(jnp.int32)
+    ok = ((x1 - 1 >= 0) & (y1 - 1 >= 0) & (x1 + 2 < sx) & (y1 + 2 < sy))
+    if sz > 1:
+        ok = ok & (z1 - 1 >= 0) & (z1 + 2 < sz)
+    xs = jnp.clip(x1, 1, max(sx - 3, 1))
+    ys = jnp.clip(y1, 1, max(sy - 3, 1))
+    zs = jnp.clip(z1, 1, max(sz - 3, 1)) if sz > 1 else jnp.zeros_like(x1)
+    wx = _cubic_weights(px - x1.astype(px.dtype))
+    wy = _cubic_weights(py - y1.astype(py.dtype))
+    if sz > 1:
+        wz = _cubic_weights(pz - z1.astype(pz.dtype))
+        zoff = (-1, 0, 1, 2)
+    else:
+        wz = (jnp.zeros_like(px), jnp.ones_like(px), jnp.zeros_like(px),
+              jnp.zeros_like(px))
+        zoff = (0,)
+
+    out = jnp.zeros_like(linear)
+    for zi, dz in enumerate(zoff):
+        acc_y = jnp.zeros_like(linear)
+        for yi, dy in enumerate((-1, 0, 1, 2)):
+            acc_x = jnp.zeros_like(linear)
+            for xi, dx in enumerate((-1, 0, 1, 2)):
+                acc_x = acc_x + wx[xi] * data[zs + dz, ys + dy, xs + dx]
+            acc_y = acc_y + wy[yi] * acc_x
+        w_z = wz[zi] if sz > 1 else 1.0  # 2D: single plane, weight 1
+        out = out + w_z * acc_y
+    return jnp.where(ok, out, linear)
+
+
+def interpol_hi(data, pos_x, pos_y, pos_z, order_space: int = 1):
+    """getInterpolatedHi dispatch (grid.h:273): 1=linear, 2=cubic."""
+    if order_space == 2:
+        return interpol_cubic(data, pos_x, pos_y, pos_z)
+    return interpol(data, pos_x, pos_y, pos_z)
+
+
 def interpol_mac(mac, pos_x, pos_y, pos_z):
     """Full MAC velocity lookup (interpolMAC, interpol.h:131-166).
 

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from ..core import flags as fl
 from ..core import mac as macops
 from ..core.domain import Domain, domain_from_shape
-from ..core.interp import interpol, interpol_mac
+from ..core.interp import interpol, interpol_hi, interpol_mac
 from ..core.masks import interior_mask, shift
 
 
@@ -50,10 +50,10 @@ def _trace_centered(vel, dt, dom: Domain, order_trace: int):
 def semi_lagrange(flags, vel, src, dt, dom: Domain, order_space: int = 1,
                   order_trace: int = 1):
     """One SL step for a cell-centered scalar grid; boundary ring (bnd=1)
-    is zero, as the reference writes into a fresh temp grid."""
-    del order_space  # linear only for now (cubic: reference interpolHigh.h)
+    is zero, as the reference writes into a fresh temp grid. order_space=2
+    uses cubic interpolation (getInterpolatedHi, interpolHigh.h)."""
     px, py, pz = _trace_centered(vel, dt, dom, order_trace)
-    dst = interpol(src, px, py, pz)
+    dst = interpol_hi(src, px, py, pz, order_space)
     return jnp.where(interior_mask(dom, 1), dst, jnp.zeros_like(dst))
 
 

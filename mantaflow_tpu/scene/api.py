@@ -437,7 +437,7 @@ class Solver:
 
     def __init__(self, name: str = "solver", gridSize=(64, 64, 64),
                  dim: int = 3, fourthDim: int = -1):
-        del fourthDim
+        self.fourthDim = int(fourthDim)
         gs = tuple(int(v) for v in gridSize)
         if dim == 2:
             gs = (gs[0], gs[1], 1)
@@ -783,6 +783,93 @@ def getComponent(source: Vec3Grid, target: RealGrid, component: int):
 
 def setComponent(source: RealGrid, target: Vec3Grid, component: int):
     target.data = target.data.at[component].set(source.data)
+
+
+class Grid4Base:
+    """4D space-time grid (grid4d.h:27-93), array layout [t,z,y,x]."""
+    dtype = jnp.float32
+    channels = 0
+
+    def __init__(self, solver: "Solver", name: str = ""):
+        from ..core import grid4d as g4
+        self.solver = solver
+        self.name = name
+        st = max(solver.fourthDim, 1)
+        sx, sy, sz = solver.domain.size
+        self.data = g4.zeros4d((sx, sy, sz, st), self.dtype,
+                               self.channels)
+
+    def setConst(self, v):
+        self.data = jnp.full_like(self.data, v)
+
+    def add(self, other):
+        self.data = self.data + other.data
+
+    def multConst(self, v):
+        self.data = self.data * v
+
+    def getMaxAbs(self):
+        return float(jnp.max(jnp.abs(self.data)))
+
+    def getInterpolated(self, pos4):
+        from ..core import grid4d as g4
+        return float(g4.interpol4d(self.data, jnp.float32(pos4[0]),
+                                   jnp.float32(pos4[1]),
+                                   jnp.float32(pos4[2]),
+                                   jnp.float32(pos4[3])))
+
+    def to_numpy(self):
+        return np.asarray(self.data)
+
+    def from_numpy(self, arr):
+        self.data = jnp.asarray(arr, self.dtype).reshape(self.data.shape)
+
+
+class Grid4Real(Grid4Base):
+    pass
+
+
+class Grid4Int(Grid4Base):
+    dtype = jnp.int32
+
+
+class Grid4Vec3(Grid4Base):
+    channels = 3
+
+
+class Grid4Vec4(Grid4Base):
+    channels = 4
+
+
+def getSliceFrom4d(src: Grid4Real, srct: int, dst):
+    """getSliceFrom4d (grid4d.cpp): copy time slice srct into a 3D grid."""
+    dst.data = src.data[srct] if src.channels == 0 else src.data[:, srct]
+
+
+def setSliceTo4d(src, dst: Grid4Real, dstt: int):
+    if dst.channels == 0:
+        dst.data = dst.data.at[dstt].set(src.data)
+    else:
+        dst.data = dst.data.at[:, dstt].set(src.data)
+
+
+def interpolateGrid4d(target: Grid4Base, source: Grid4Base,
+                      scale=(1, 1, 1, 1), offset=(0, 0, 0, 0)):
+    """interpolateGrid4d: resample a 4D grid to a new resolution."""
+    from ..core import grid4d as g4
+    st, sz, sy, sx = target.data.shape[-4:]
+    ss = source.data.shape[-4:]
+    f = [ss[3 - c] / target.data.shape[::-1][c] / scale[c] for c in range(4)]
+    xs = (jnp.arange(sx, dtype=jnp.float32).reshape(1, 1, 1, sx)) * f[0] + f[0] * 0.5
+    ys = (jnp.arange(sy, dtype=jnp.float32).reshape(1, 1, sy, 1)) * f[1] + f[1] * 0.5
+    zs = (jnp.arange(sz, dtype=jnp.float32).reshape(1, sz, 1, 1)) * f[2] + f[2] * 0.5
+    ts = (jnp.arange(st, dtype=jnp.float32).reshape(st, 1, 1, 1)) * f[3] + f[3] * 0.5
+    shape = (st, sz, sy, sx)
+    px = jnp.broadcast_to(xs, shape)
+    py = jnp.broadcast_to(ys, shape)
+    pz = jnp.broadcast_to(zs, shape)
+    pt = jnp.broadcast_to(ts, shape)
+    target.data = g4.interpol4d(source.data, px, py, pz, pt)
 
 
 def printBuildInfo():

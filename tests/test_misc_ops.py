@@ -81,3 +81,34 @@ def test_com_pdata_reset_timings():
     t = Timings()
     t.add("demo", 0.001)
     t.display()
+
+
+def test_cubic_advection_and_grid4d():
+    # order-space-2 advection runs and stays bounded
+    res = 16
+    s = Solver(name="c", gridSize=vec3(res, res, 1), dim=2)
+    flags = s.create(FlagGrid)
+    flags.initDomain()
+    flags.fillGrid()
+    vel = s.create(MACGrid)
+    vel.setConst(vec3(0.4, 0.2, 0))
+    d = s.create(RealGrid)
+    Sphere(s, center=vec3(6, 8, 0.5), radius=3).applyToGrid(grid=d, value=1.0)
+    m0 = d.to_numpy().sum()
+    for _ in range(4):
+        advectSemiLagrange(flags=flags, vel=vel, grid=d, order=2,
+                           orderSpace=2)
+    dn = d.to_numpy()
+    assert np.isfinite(dn).all()
+    assert 0.5 * m0 < dn.sum() < 1.5 * m0
+    # blob moved along the velocity
+    com_x = (dn * np.arange(res)[None, None, :]).sum() / dn.sum()
+    assert com_x > 6.5
+
+    # 4d grid container
+    from mantaflow_tpu import Grid4Real, getSliceFrom4d
+    s4 = Solver(name="g4", gridSize=vec3(8, 8, 8), fourthDim=3)
+    g4 = s4.create(Grid4Real)
+    assert g4.data.shape == (3, 8, 8, 8)
+    g4.setConst(2.0)
+    assert g4.getMaxAbs() == 2.0
