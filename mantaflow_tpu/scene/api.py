@@ -209,6 +209,28 @@ class GridBase:
             m = m[None]
         return jnp.where(m, self.data, 0.0)
 
+    def setBoundNeumann(self, boundary_width: int = 0):
+        """Copy the first interior layer into the boundary shells
+        (Grid::setBoundNeumann, grid.cpp:667)."""
+        from ..core.masks import axis_index
+        from ..core.masks import shift as _shift
+        out = self.data
+        dom = self.dom
+        w = boundary_width
+        for ax, n in (("x", dom.shape[2]), ("y", dom.shape[1]),
+                      ("z", dom.shape[0])):
+            if ax == "z" and not dom.is3d:
+                continue
+            idx = axis_index(dom, ax)
+            for layer in range(w + 1):
+                lo = idx == (w - layer)
+                hi = idx == (n - 1 - w + layer)
+                if self.channels == 3:
+                    lo, hi = lo[None], hi[None]
+                out = jnp.where(lo, _shift(out, 1, ax), out)
+                out = jnp.where(hi, _shift(out, -1, ax), out)
+        self.data = out
+
     def setBound(self, value, boundary_width: int = 1):
         from ..core.masks import interior_mask
         m = interior_mask(self.dom, boundary_width)

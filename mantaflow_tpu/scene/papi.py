@@ -49,6 +49,13 @@ class PdataBase:
     def copyFrom(self, other):
         self.data = other.data
 
+    def setSource(self, grid, isMAC: bool = False):
+        """Register the grid used to initialize newly seeded particles
+        (ParticleDataImpl::setSource, particle.h:352; consumed by
+        adjustNumber for PNEW slots)."""
+        self._source = grid
+        self._source_is_mac = isMAC
+
     def multConst(self, v):
         self.data = self.data * v
 
@@ -597,3 +604,18 @@ def adjustNumber(parts: BasicParticleSystem, vel: MACGrid, flags: FlagGrid,
         parts.parts, vel.data, flags.data, flags.dom, minParticles,
         maxParticles, phi.data, radiusFactor, narrowBand,
         exclude.data if exclude is not None else None)
+    # initialize registered channels of newly seeded (PNEW) particles from
+    # their source grids (insertBufferedParticles semantics, particle.h:640)
+    new = (parts.parts.flags & cp.PNEW) != 0
+    for pd in parts._pdata:
+        src = getattr(pd, "_source", None)
+        if src is None:
+            continue
+        if getattr(pd, "_source_is_mac", False):
+            vals = fo.map_mac_to_parts(src.data, parts.parts)
+        else:
+            vals = fo.map_grid_to_parts(src.data, parts.parts)
+        if pd.data.ndim == 2:
+            pd.data = jnp.where(new[:, None], vals, pd.data)
+        else:
+            pd.data = jnp.where(new, vals, pd.data)
