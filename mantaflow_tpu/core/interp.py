@@ -82,6 +82,222 @@ def interpol_component(mac, c: int, pos_x, pos_y, pos_z):
     return interpol(mac[c], pos_x, pos_y, pos_z)
 
 
+# ---------------------------------------------------------------------------
+# packed-corner fast path for PARTICLE interpolation.
+#
+# TPU gather cost is per-index, not per-byte for small rows (measured: a
+# (T,8) row gather costs the same ~7-8ms/690k as a scalar gather). Packing
+# the 8 trilinear corners of every cell into one (T,8) table turns the
+# 8-gather interpolation into ONE row gather + a weight dot — an ~8x
+# reduction in gather count for every particle op (g2p, advection, FLIP).
+
+def _corner_offsets(shape):
+    sz, sy, sx = shape[-3:]
+    if sz > 1:
+        return (0, 1, sx, sx + 1, sy * sx, sy * sx + 1, sy * sx + sx,
+                sy * sx + sx + 1)
+    return (0, 1, sx, sx + 1)
+
+
+def build_corner_table(data):
+    """(Z,Y,X) -> (T, 8|4) table; row f holds the corner values of the cell
+    whose lower corner has flat index f. Built with rolls (one fused pass);
+    wrapped top rows are never addressed because _axis_weights bounds the
+    base indices to [0, n-2] per axis."""
+    flat = data.reshape(-1)
+    offs = _corner_offsets(data.shape)
+    return jnp.stack([jnp.roll(flat, -o) for o in offs], axis=1)
+
+
+def _base_and_weights(shape, px, py, pz):
+    sz, sy, sx = shape[-3:]
+    xi, s1 = _axis_weights(px, sx)
+    yi, t1 = _axis_weights(py, sy)
+    zi, f1 = _axis_weights(pz, sz)
+    base = (zi * sy + yi) * sx + xi
+    s0, t0, f0 = 1.0 - s1, 1.0 - t1, 1.0 - f1
+    if sz > 1:
+        w = jnp.stack([f0 * t0 * s0, f0 * t0 * s1, f0 * t1 * s0,
+                       f0 * t1 * s1, f1 * t0 * s0, f1 * t0 * s1,
+                       f1 * t1 * s0, f1 * t1 * s1], axis=-1)
+    else:
+        w = jnp.stack([t0 * s0, t0 * s1, t1 * s0, t1 * s1], axis=-1)
+    return base, w
+
+
+def interpol_rows(table, shape, pos_x, pos_y, pos_z):
+    """Cell-centered lookup via a prebuilt corner table (1D positions)."""
+    base, w = _base_and_weights(shape, pos_x - 0.5, pos_y - 0.5, pos_z - 0.5)
+    return jnp.sum(table[base] * w, axis=-1)
+
+
+def interpol_fast(data, pos_x, pos_y, pos_z):
+    """interpol() equivalent optimized for particle (1D) position arrays."""
+    return interpol_rows(build_corner_table(data), data.shape, pos_x, pos_y,
+                         pos_z)
+
+
+def interpol_mac_fast(mac, pos_x, pos_y, pos_z, tables=None):
+    """interpol_mac() equivalent via packed tables: 3 row gathers total.
+    Pass `tables = mac_corner_tables(mac)` to amortize table building."""
+    shape = mac.shape[-3:]
+    if tables is None:
+        tables = mac_corner_tables(mac)
+    bx, wx = _base_and_weights(shape, pos_x, pos_y - 0.5, pos_z - 0.5)
+    by, wy = _base_and_weights(shape, pos_x - 0.5, pos_y, pos_z - 0.5)
+    u = jnp.sum(tables[0][bx] * wx, axis=-1)
+    v = jnp.sum(tables[1][by] * wy, axis=-1)
+    if shape[0] > 1:
+        bz, wz = _base_and_weights(shape, pos_x - 0.5, pos_y - 0.5, pos_z)
+        w = jnp.sum(tables[2][bz] * wz, axis=-1)
+    else:
+        w = jnp.zeros_like(u)
+    return u, v, w
+
+
+def mac_corner_tables(mac):
+    return (build_corner_table(mac[0]), build_corner_table(mac[1]),
+            build_corner_table(mac[2]) if mac.shape[-3] > 1 else None)
+
+
+def scatter_rows(shape, base, w, values):
+    """Row-packed scatter-add: the inverse of interpol_rows. Accumulates
+    w*values into an auxiliary (T, 8|4) table with ONE scatter, then folds
+    the corner channels with rolls. Returns the flat (T,) accumulation."""
+    sz, sy, sx = shape[-3:]
+    n = sz * sy * sx
+    offs = _corner_offsets(shape)
+    upd = w * values[..., None] if values is not None else w
+    aux = jnp.zeros((n, len(offs)), jnp.float32).at[base].add(upd)
+    out = jnp.zeros((n,), jnp.float32)
+    for c, o in enumerate(offs):
+        out = out + jnp.roll(aux[:, c], o)
+    return out
+
+
+# -- fully packed MAC interpolation: ONE gather per particle evaluation ----
+#
+# All values interpol_mac needs live in the 3x3x3 cell neighborhood of the
+# cell base = trunc(p - 0.5): per component, 12 cells (3 along its own axis,
+# 2 along the others). Row width is free on TPU gathers (measured flat up to
+# 128), so packing u/v/w neighborhoods (36 cols) — optionally twice for
+# (vel, vel_old) or plus 8 flag cols — makes every particle evaluation a
+# single row gather plus vector math.
+
+def _mac_pack_ranges(is3d: bool):
+    if is3d:
+        return (((0, 1, 2), (0, 1), (0, 1)),
+                ((0, 1), (0, 1, 2), (0, 1)),
+                ((0, 1), (0, 1), (0, 1, 2)))
+    return (((0, 1, 2), (0, 1), (0,)),
+            ((0, 1), (0, 1, 2), (0,)))
+
+
+def build_mac_pack(mac, flags=None):
+    """(3,Z,Y,X) -> (T, 24|36[+4|8]) packed neighborhood table."""
+    sz, sy, sx = mac.shape[-3:]
+    is3d = sz > 1
+    cols = []
+    for c, (xr, yr, zr) in enumerate(_mac_pack_ranges(is3d)):
+        flat = mac[c].reshape(-1)
+        for dz in zr:
+            for dy in yr:
+                for dx in xr:
+                    cols.append(jnp.roll(flat, -(dz * sy * sx + dy * sx + dx)))
+    if flags is not None:
+        fflat = flags.reshape(-1).astype(jnp.float32)
+        zr = (0, 1) if is3d else (0,)
+        for dz in zr:
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    cols.append(jnp.roll(fflat,
+                                         -(dz * sy * sx + dy * sx + dx)))
+    return jnp.stack(cols, axis=1)
+
+
+def interpol_mac_packed(pack, shape, pos_x, pos_y, pos_z,
+                        with_flags: bool = False):
+    """interpol_mac via one packed row gather. Returns (u, v, w[, flag8])
+    where flag8 is the gathered 4/8-cell flag block when with_flags."""
+    sz, sy, sx = shape[-3:]
+    is3d = sz > 1
+    xi, s1 = _axis_weights(pos_x - 0.5, sx)
+    yi, t1 = _axis_weights(pos_y - 0.5, sy)
+    zi, f1 = _axis_weights(pos_z - 0.5, sz)
+    sxi, ss1 = _axis_weights(pos_x, sx)
+    syi, st1 = _axis_weights(pos_y, sy)
+    szi, sf1 = _axis_weights(pos_z, sz)
+    base = (zi * sy + yi) * sx + xi
+    rows = pack[base]  # (N, W)
+
+    def axis_w(centered_w1):
+        return (1.0 - centered_w1, centered_w1)
+
+    def shifted_w(sidx, cidx, sw1, n3: int):
+        """weights over the 3-slot axis: shifted base lands at slot
+        d = sidx - cidx (0 or 1)."""
+        d = (sidx - cidx).astype(jnp.float32)
+        w = []
+        for slot in range(n3):
+            s = jnp.float32(slot)
+            w.append(jnp.where(d == s, 1.0 - sw1,
+                               jnp.where(d == s - 1.0, sw1, 0.0)))
+        return tuple(w)
+
+    wxc = axis_w(s1)
+    wyc = axis_w(t1)
+    wzc = axis_w(f1) if is3d else (jnp.ones_like(s1),)
+    wxs = shifted_w(sxi, xi, ss1, 3)
+    wys = shifted_w(syi, yi, st1, 3)
+    wzs = shifted_w(szi, zi, sf1, 3) if is3d else (jnp.ones_like(s1),)
+
+    comps = []
+    col = 0
+    ranges = _mac_pack_ranges(is3d)
+    for c, (xr, yr, zr) in enumerate(ranges):
+        wx = wxs if c == 0 else wxc
+        wy = wys if c == 1 else wyc
+        wz = wzs if c == 2 else wzc
+        acc = jnp.zeros_like(s1)
+        for iz, dz in enumerate(zr):
+            for iy, dy in enumerate(yr):
+                for ix, dx in enumerate(xr):
+                    acc = acc + wz[iz] * wy[iy] * wx[ix] * rows[:, col]
+                    col += 1
+        comps.append(acc)
+    if not is3d:
+        comps.append(jnp.zeros_like(comps[0]))
+    if with_flags:
+        nfl = 8 if is3d else 4
+        flag_rows = rows[:, col:col + nfl].astype(jnp.int32)
+        # the containing cell trunc(p) relative to base is (0|1) per axis
+        dxp = jnp.clip(jnp.clip(pos_x.astype(jnp.int32), 0, sx - 1) - xi, 0, 1)
+        dyp = jnp.clip(jnp.clip(pos_y.astype(jnp.int32), 0, sy - 1) - yi, 0, 1)
+        dzp = jnp.clip(jnp.clip(pos_z.astype(jnp.int32), 0, sz - 1) - zi, 0, 1) \
+            if is3d else jnp.zeros_like(dxp)
+        slot = (dzp * 2 + dyp) * 2 + dxp
+        flag_at = jnp.take_along_axis(flag_rows, slot[:, None], axis=1)[:, 0]
+        return comps[0], comps[1], comps[2], flag_at
+    return comps[0], comps[1], comps[2]
+
+
+def scatter_rows2(shape, base, w, values):
+    """Fused value+weight row scatter: one scatter producing both the
+    weighted-value accumulation and the weight sum (p2g's two targets)."""
+    sz, sy, sx = shape[-3:]
+    n = sz * sy * sx
+    offs = _corner_offsets(shape)
+    k = len(offs)
+    upd = jnp.concatenate([w * values[..., None], w], axis=-1)
+    aux = jnp.zeros((n, 2 * k), jnp.float32).at[base].add(upd)
+    acc = jnp.zeros((n,), jnp.float32)
+    wsum = jnp.zeros((n,), jnp.float32)
+    for c, o in enumerate(offs):
+        acc = acc + jnp.roll(aux[:, c], o)
+        wsum = wsum + jnp.roll(aux[:, k + c], o)
+    return acc, wsum
+
+
 def _cubic_weights(t):
     """cubicInterp (util/interpolHigh.h:20-38) expressed as four basis
     weights for samples p[-1..2]: the Hermite form with central-difference

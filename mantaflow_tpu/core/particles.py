@@ -26,7 +26,7 @@ import numpy as np
 
 from .domain import Domain
 from . import flags as fl
-from .interp import interpol, interpol_mac
+from .interp import interpol, interpol_mac, interpol_mac_fast, mac_corner_tables
 
 # particle flag bits (particle.h:35-42)
 PNONE = 0
@@ -173,8 +173,9 @@ def _in_bounds(pos, dom: Domain, bnd: int):
     return ok
 
 
-def _vel_at(vel, pos):
-    u, v, w = interpol_mac(vel, pos[:, 0], pos[:, 1], pos[:, 2])
+def _vel_at(vel, pos, tables=None):
+    u, v, w = interpol_mac_fast(vel, pos[:, 0], pos[:, 1], pos[:, 2],
+                                tables=tables)
     return jnp.stack([u, v, w], axis=-1)
 
 
@@ -193,13 +194,25 @@ def advect_in_grid(parts: Particles, flags, vel, dt, dom: Domain,
     skip = skip | (idx >= parts.count)
 
     new_delete = jnp.zeros(parts.capacity, dtype=bool)
+    # one packed table shared across all RK evaluations: each velocity
+    # evaluation (incl. the obstacle-flag check) is a single row gather
+    from .interp import build_mac_pack, interpol_mac_packed
+    need_flags = delete_in_obstacle or stop_in_obstacle
+    pack = build_mac_pack(vel, flags if need_flags else None)
 
     def eval_u(pos, new_delete):
-        u = _vel_at(vel, pos) * dt
+        if need_flags:
+            u0, v0, w0, flag_at = interpol_mac_packed(
+                pack, dom.shape, pos[:, 0], pos[:, 1], pos[:, 2],
+                with_flags=True)
+        else:
+            u0, v0, w0 = interpol_mac_packed(pack, dom.shape, pos[:, 0],
+                                             pos[:, 1], pos[:, 2])
+        u = jnp.stack([u0, v0, w0], axis=-1) * dt
         u = jnp.where(skip[:, None], 0.0, u)
-        if delete_in_obstacle or stop_in_obstacle:
+        if need_flags:
             bad = (~_in_bounds(pos, dom, 1)
-                   | ((_flags_at(flags, pos, dom) & fl.TypeObstacle) != 0))
+                   | ((flag_at & fl.TypeObstacle) != 0))
             bad = bad & ~skip
             if stop_in_obstacle:
                 u = jnp.where(bad[:, None], 0.0, u)

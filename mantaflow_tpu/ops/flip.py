@@ -25,7 +25,9 @@ import jax.numpy as jnp
 
 from ..core import flags as fl
 from ..core.domain import Domain
-from ..core.interp import _axis_weights, interpol, interpol_mac
+from ..core.interp import (_axis_weights, _base_and_weights, interpol,
+                           interpol_fast, interpol_mac, interpol_mac_fast,
+                           mac_corner_tables, scatter_rows, scatter_rows2)
 from ..core.masks import interior_mask, shift
 from ..core.particles import PDELETE, PNEW, Particles
 
@@ -86,6 +88,9 @@ def map_parts_to_mac(parts: Particles, pvel, flags, dom: Domain, ptype=None,
         active = active & ((ptype & exclude) == 0)
     af = active.astype(jnp.float32)
     n_comp = 3 if dom.is3d else 2
+    px, py, pz = parts.pos[:, 0], parts.pos[:, 1], parts.pos[:, 2]
+    face_pos = [(px, py - 0.5, pz - 0.5), (px - 0.5, py, pz - 0.5),
+                (px - 0.5, py - 0.5, pz)]
     vels, weights = [], []
     for c in range(3):
         if c >= n_comp and not dom.is3d and c == 2:
@@ -94,12 +99,12 @@ def map_parts_to_mac(parts: Particles, pvel, flags, dom: Domain, ptype=None,
             vels.append(jnp.zeros(dom.shape, jnp.float32))
             weights.append(jnp.zeros(dom.shape, jnp.float32))
             continue
-        xi, yi, zi, s1, t1, f1 = _mac_axis_weights(parts.pos, dom.shape, c)
-        flat, w = _corner_arrays(xi, yi, zi, s1, t1, f1, dom.shape)
-        w = w * af[None, :]
-        acc, wsum = _scatter_weighted(dom.shape, flat, w, pvel[:, c][None, :])
-        vels.append(acc)
-        weights.append(wsum)
+        # row-packed scatter: one fused scatter for value + weight
+        base, w = _base_and_weights(dom.shape, *face_pos[c])
+        w = w * af[:, None]
+        acc, wsum = scatter_rows2(dom.shape, base, w, pvel[:, c])
+        vels.append(acc.reshape(dom.shape))
+        weights.append(wsum.reshape(dom.shape))
     weight = jnp.stack(weights)
     vel_acc = jnp.stack(vels)
     # stomp tiny weights to zero, then safe divide (flip.cpp:653-655)
@@ -134,16 +139,16 @@ def map_grid_to_parts(grid, parts: Particles):
     """mapGridToParts (flip.cpp:699): cell-centered interpolation."""
     px, py, pz = parts.pos[:, 0], parts.pos[:, 1], parts.pos[:, 2]
     if grid.ndim == 3:
-        return interpol(grid, px, py, pz)
-    return jnp.stack([interpol(grid[c], px, py, pz)
+        return interpol_fast(grid, px, py, pz)
+    return jnp.stack([interpol_fast(grid[c], px, py, pz)
                       for c in range(grid.shape[0])], axis=-1)
 
 
 def map_mac_to_parts(vel, parts: Particles, ptype=None, exclude: int = 0,
                      old_pvel=None):
     """mapMACToParts / PIC update (flip.cpp:709-723)."""
-    u, v, w = interpol_mac(vel, parts.pos[:, 0], parts.pos[:, 1],
-                           parts.pos[:, 2])
+    u, v, w = interpol_mac_fast(vel, parts.pos[:, 0], parts.pos[:, 1],
+                                parts.pos[:, 2])
     new = jnp.stack([u, v, w], axis=-1)
     if old_pvel is None:
         return new
@@ -156,9 +161,16 @@ def map_mac_to_parts(vel, parts: Particles, ptype=None, exclude: int = 0,
 def flip_velocity_update(parts: Particles, pvel, flags, vel, vel_old,
                          flip_ratio: float, ptype=None, exclude: int = 0):
     """flipVelocityUpdate (flip.cpp:727-744): blend FLIP delta with PIC."""
+    from ..core.interp import build_mac_pack, interpol_mac_packed
     px, py, pz = parts.pos[:, 0], parts.pos[:, 1], parts.pos[:, 2]
-    v1 = jnp.stack(interpol_mac(vel_old, px, py, pz), axis=-1)
-    v2 = jnp.stack(interpol_mac(vel, px, py, pz), axis=-1)
+    # one gather for both fields: concatenate the packed tables
+    pack = jnp.concatenate([build_mac_pack(vel_old), build_mac_pack(vel)],
+                           axis=1)
+    half = pack.shape[1] // 2
+    u1, w1, z1 = interpol_mac_packed(pack[:, :half], vel.shape[-3:], px, py, pz)
+    u2, w2, z2 = interpol_mac_packed(pack[:, half:], vel.shape[-3:], px, py, pz)
+    v1 = jnp.stack([u1, w1, z1], axis=-1)
+    v2 = jnp.stack([u2, w2, z2], axis=-1)
     new = flip_ratio * (pvel + (v2 - v1)) + (1.0 - flip_ratio) * v2
     keep = ~parts.active_mask()
     if ptype is not None:
