@@ -360,6 +360,88 @@ def averaged_particle_levelset(parts: Particles, flags, dom: Domain,
     return jnp.where(inter, phi, 0.5)
 
 
+def improved_particle_levelset(parts: Particles, flags, dom: Domain,
+                               radius_factor: float = 1.0, smoothen: int = 1,
+                               smoothen_neg: int = 1, t_low: float = 0.4,
+                               t_high: float = 3.5, ptype=None,
+                               exclude: int = 0):
+    """improvedParticleLevelset (flip.cpp:503-581, Solenthaler'07): averaged
+    particle levelset with a deformation-aware radius correction from the
+    largest eigenvalue of the jacobian of averaged positions. Deviation: the
+    eigenvalue is taken from the symmetrized jacobian (eigh is TPU-native;
+    the reference solves the general cubic)."""
+    import jax
+    radius = 0.5 * _radius_factor(dom, radius_factor)
+    # recompute averaged weights, keeping pAcc (averaged positions)
+    r = int(1.0 * radius) + 1
+    sradius_inv = 1.0 / (4.0 * radius * radius)
+    sz, sy, sx = dom.shape
+    n = sz * sy * sx
+    active = parts.active_mask()
+    if ptype is not None:
+        active = active & ((ptype & exclude) == 0)
+    wacc = jnp.zeros((n,), jnp.float32)
+    pacc = jnp.zeros((n, 3), jnp.float32)
+    pi = parts.pos[:, 0].astype(jnp.int32)
+    pj = parts.pos[:, 1].astype(jnp.int32)
+    pk = parts.pos[:, 2].astype(jnp.int32)
+    zrange = range(-r, r + 1) if dom.is3d else [0]
+    for dz in zrange:
+        for dy in range(-r, r + 1):
+            for dx in range(-r, r + 1):
+                ci, cj, ck = pi + dx, pj + dy, pk + dz
+                ok = active & (ci >= 0) & (ci < sx) & (cj >= 0) & (cj < sy)
+                if dom.is3d:
+                    ok &= (ck >= 0) & (ck < sz)
+                cik = jnp.clip(ci, 0, sx - 1)
+                cjk = jnp.clip(cj, 0, sy - 1)
+                ckk = jnp.clip(ck, 0, sz - 1) if dom.is3d else jnp.zeros_like(cik)
+                gx = cik.astype(jnp.float32) + 0.5
+                gy = cjk.astype(jnp.float32) + 0.5
+                gz = ckk.astype(jnp.float32) + 0.5
+                s = ((gx - parts.pos[:, 0]) ** 2 + (gy - parts.pos[:, 1]) ** 2
+                     + ((gz - parts.pos[:, 2]) ** 2 if dom.is3d else 0.0)
+                     ) * sradius_inv
+                w = jnp.where(ok, jnp.maximum(0.0, 1.0 - s), 0.0)
+                flat = (ckk * sy + cjk) * sx + cik
+                wacc = wacc.at[flat].add(w)
+                pacc = pacc.at[flat].add(w[:, None] * parts.pos)
+    have = (wacc > VECTOR_EPSILON).reshape(dom.shape)
+    pavg = (pacc / jnp.maximum(wacc, 1e-30)[:, None]).reshape(dom.shape + (3,))
+    pavg = jnp.moveaxis(pavg, -1, 0)  # (3, z, y, x)
+
+    # jacobian of averaged positions (correctLevelset, flip.cpp:503-538)
+    def d1(a, ax):
+        return 0.5 * (shift(a, 1, ax) - shift(a, -1, ax))
+    axes = ["x", "y", "z"]
+    jac = jnp.stack([jnp.stack([
+        d1(pavg[row], axes[colu]) if (dom.is3d or colu < 2)
+        else jnp.zeros(dom.shape) for colu in range(3)], axis=-1)
+        for row in range(3)], axis=-2)  # (..., 3, 3)
+    jac_sym = 0.5 * (jac + jnp.swapaxes(jac, -1, -2))
+    max_ev = jnp.linalg.eigvalsh(jac_sym)[..., -1]
+
+    t = (t_high - max_ev) / (t_high - t_low)
+    corr = jnp.where(max_ev >= t_low, t ** 3 - 3 * t ** 2 + 3 * t, 1.0)
+    corr = jnp.clip(corr, 0.0, 1.0)
+
+    gx = (jnp.arange(sx, dtype=jnp.float32) + 0.5).reshape(1, 1, sx)
+    gy = (jnp.arange(sy, dtype=jnp.float32) + 0.5).reshape(1, sy, 1)
+    gz = (jnp.arange(sz, dtype=jnp.float32) + 0.5).reshape(sz, 1, 1)
+    dist = jnp.sqrt((gx - pavg[0]) ** 2 + (gy - pavg[1]) ** 2
+                    + ((gz - pavg[2]) ** 2 if dom.is3d else 0.0))
+    corrected = jnp.minimum(dist - radius * corr, radius)
+    phi = jnp.where(have, corrected, radius)
+
+    factor = 1.0 / (7.0 if dom.is3d else 5.0)
+    for i in range(max(smoothen, smoothen_neg)):
+        if i < smoothen:
+            phi = _smooth_grid(phi, dom, factor)
+        if i < smoothen_neg:
+            phi = _smooth_grid_neg(phi, dom, factor)
+    return jnp.where(interior_mask(dom, 1), phi, 0.5)
+
+
 def _neighbor_sum(a, dom: Domain):
     s = (a + shift(a, 1, "x") + shift(a, -1, "x")
          + shift(a, 1, "y") + shift(a, -1, "y"))

@@ -399,6 +399,27 @@ def averagedParticleLevelset(parts: BasicParticleSystem,
         smoothenNeg, ptype.data if ptype is not None else None, exclude)
 
 
+def improvedParticleLevelset(parts: BasicParticleSystem,
+                             indexSys: ParticleIndexSystem, flags: FlagGrid,
+                             index: IntGrid, phi: LevelsetGrid,
+                             radiusFactor: float = 1.0, smoothen: int = 1,
+                             smoothenNeg: int = 1, t_low: float = 0.4,
+                             t_high: float = 3.5, ptype=None,
+                             exclude: int = 0):
+    phi.data = fo.improved_particle_levelset(
+        parts.parts, flags.data, flags.dom, radiusFactor, smoothen,
+        smoothenNeg, t_low, t_high,
+        ptype.data if ptype is not None else None, exclude)
+
+
+def resetPhiInObs(flags: FlagGrid, sdf):
+    """resetPhiInObs (advection.cpp:396-404): unstick the surface from
+    obstacle regions."""
+    from ..core import flags as flg
+    sdf.data = jnp.where(flg.is_obstacle(flags.data) & (sdf.data < 0.0), 0.1,
+                         sdf.data)
+
+
 def pushOutofObs(parts: BasicParticleSystem, flags: FlagGrid,
                  phiObs: RealGrid, shift: float = 0.0, thresh: float = 0.0,
                  ptype=None, exclude: int = 0):
