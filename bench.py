@@ -30,13 +30,12 @@ def main():
     n_steps = int(os.environ.get("BENCH_STEPS", "10"))
 
     dom = Domain(size=(res, res, res), dim=3)
-    # window=3 fast advection is exact for CFL<=3; adaptive dt enforces that
-    # (reference plume_adaptDt.py pattern)
+    # the packed-row gather path is now the fastest AND exact (no CFL
+    # window); adaptive dt kept for physical parity with plume_adaptDt.py
     params = smoke.SmokeParams(buoyancy=(0.0, -6e-4, 0.0),
                                vorticity_confinement=0.1,
                                cg_accuracy=1e-3,
-                               window=3, adaptive_dt=True, cfl=3.0,
-                               dt_max=2.0)
+                               adaptive_dt=True, cfl=3.0, dt_max=2.0)
     src = Sphere(center=(res / 2.0, res * 0.1, res / 2.0), radius=res * 0.14)
     state = smoke.make_smoke_state(dom, params, source_shape=src)
 

@@ -41,25 +41,25 @@ def _axis_weights(p, n: int, clamp_hi: bool = True):
 
 
 def trilerp_gather(data, xi, yi, zi, s1, t1, f1):
-    """8-corner gather + blend; upper indices clamp (safe for n==1 axes)."""
+    """8-corner interpolation via ONE packed row gather (see the
+    packed-corner section below: TPU gather cost is per-index, so packing
+    the corners into (T, 8) rows is ~8x cheaper than eight gathers). Index
+    semantics identical to the original per-corner form: _axis_weights
+    bounds the bases so the uniform +1 offsets never leave the array."""
     sz, sy, sx = data.shape[-3:]
-    x1 = jnp.minimum(xi + 1, sx - 1)
-    y1 = jnp.minimum(yi + 1, sy - 1)
-    z1 = jnp.minimum(zi + 1, sz - 1)
+    base = (zi * sy + yi) * sx + xi
     s0, t0, f0 = 1.0 - s1, 1.0 - t1, 1.0 - f1
-
-    d000 = data[zi, yi, xi]
-    d100 = data[zi, yi, x1]
-    d010 = data[zi, y1, xi]
-    d110 = data[zi, y1, x1]
     if sz > 1:
-        d001 = data[z1, yi, xi]
-        d101 = data[z1, yi, x1]
-        d011 = data[z1, y1, xi]
-        d111 = data[z1, y1, x1]
-        return (((d000 * t0 + d010 * t1) * s0 + (d100 * t0 + d110 * t1) * s1) * f0
-                + ((d001 * t0 + d011 * t1) * s0 + (d101 * t0 + d111 * t1) * s1) * f1)
-    return ((d000 * t0 + d010 * t1) * s0 + (d100 * t0 + d110 * t1) * s1)
+        w = jnp.stack([f0 * t0 * s0, f0 * t0 * s1, f0 * t1 * s0,
+                       f0 * t1 * s1, f1 * t0 * s0, f1 * t0 * s1,
+                       f1 * t1 * s0, f1 * t1 * s1], axis=-1)
+    else:
+        w = jnp.stack([t0 * s0, t0 * s1, t1 * s0, t1 * s1], axis=-1)
+    table = build_corner_table(data)
+    flat_base = base.reshape(-1)
+    rows = table[flat_base]
+    out = jnp.sum(rows * w.reshape(flat_base.shape[0], -1), axis=-1)
+    return out.reshape(base.shape)
 
 
 def interpol(data, pos_x, pos_y, pos_z):

@@ -132,39 +132,38 @@ def _axis_coord(dom: Domain, axis: str):
 def _corner_minmax(orig, ok_mask, ix, iy, iz, dom: Domain):
     """min/max (and any-ok) over the 2x2x2 cell corners at integer position
     (doClampComponent's getMinMax loop). ix/iy/iz are int32 arrays already
-    truncated toward zero; clamped here to [0, size-2] per the reference."""
+    truncated toward zero; clamped here to [0, size-2] per the reference.
+
+    Packed-row form: values (+ optional ok flags) for all corners come from
+    ONE row gather (see core/interp.py packed-corner rationale)."""
+    from ..core.interp import build_corner_table
     sz, sy, sx = dom.shape
     i0 = jnp.clip(ix, 0, sx - 2)
     j0 = jnp.clip(iy, 0, sy - 2)
-    if dom.is3d:
-        k0 = jnp.clip(iz, 0, sz - 2)
-        k1 = k0 + 1
-    else:
-        k0 = jnp.zeros_like(iz)
-        k1 = k0
-    i1 = i0 + 1
-    j1 = j0 + 1
+    k0 = jnp.clip(iz, 0, sz - 2) if dom.is3d else jnp.zeros_like(iz)
 
+    if ok_mask is not None:
+        packed = jnp.concatenate(
+            [build_corner_table(orig),
+             build_corner_table(ok_mask.astype(jnp.float32))], axis=1)
+    else:
+        packed = build_corner_table(orig)
+    nc = 8 if dom.is3d else 4
+    base = ((k0 * sy + j0) * sx + i0).reshape(-1)
+    rows = packed[base]
+    vals = rows[:, :nc]
     big = jnp.float32(3.4e38)
-    minv = jnp.full(ix.shape, big, dtype=orig.dtype)
-    maxv = jnp.full(ix.shape, -big, dtype=orig.dtype)
-    have = jnp.zeros(ix.shape, dtype=bool)
-    corners = [(i0, j0, k0), (i1, j0, k0), (i0, j1, k0), (i1, j1, k0)]
-    if dom.is3d:
-        corners += [(i0, j0, k1), (i1, j0, k1), (i0, j1, k1), (i1, j1, k1)]
-    for (ci, cj, ck) in corners:
-        val = orig[ck, cj, ci]
-        if ok_mask is not None:
-            ok = ok_mask[ck, cj, ci]
-            minv = jnp.where(ok & (val < minv), val, minv)
-            maxv = jnp.where(ok & (val > maxv), val, maxv)
-            have = have | ok
-        else:
-            minv = jnp.minimum(minv, val)
-            maxv = jnp.maximum(maxv, val)
-    if ok_mask is None:
-        have = jnp.ones(ix.shape, dtype=bool)
-    return minv, maxv, have
+    if ok_mask is not None:
+        ok = rows[:, nc:2 * nc] > 0.5
+        minv = jnp.min(jnp.where(ok, vals, big), axis=1)
+        maxv = jnp.max(jnp.where(ok, vals, -big), axis=1)
+        have = jnp.any(ok, axis=1)
+    else:
+        minv = jnp.min(vals, axis=1)
+        maxv = jnp.max(vals, axis=1)
+        have = jnp.ones(base.shape, dtype=bool)
+    return (minv.reshape(ix.shape), maxv.reshape(ix.shape),
+            have.reshape(ix.shape))
 
 
 def _trunc(x):
