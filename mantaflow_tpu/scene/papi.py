@@ -587,6 +587,58 @@ def debugGridInfo(flags: FlagGrid, grid: RealGrid, name: str,
 
 
 # ---------------------------------------------------------------------------
+# surface turbulence (plugin/surfaceturbulence.cpp:1028)
+
+def particleSurfaceTurbulence(
+        flags: FlagGrid, coarseParts: BasicParticleSystem,
+        coarsePartsPrevPos: PdataVec3, surfPoints: BasicParticleSystem,
+        surfaceNormals: PdataVec3, surfaceWaveH: PdataReal,
+        surfaceWaveDtH: PdataReal,
+        surfacePointsDisplaced: BasicParticleSystem,
+        surfaceWaveSource: PdataReal, surfaceWaveSeed: PdataReal,
+        surfaceWaveSeedAmplitude: PdataReal, res: int,
+        outerRadius: float = 1.0, surfaceDensity: int = 20,
+        nbSurfaceMaintenanceIterations: int = 4, dt: float = 0.005,
+        waveSpeed: float = 16.0, waveDamping: float = 0.0,
+        waveSeedFrequency: float = 4.0, waveMaxAmplitude: float = 0.25,
+        waveMaxFrequency: float = 800.0,
+        waveMaxSeedingAmplitude: float = 0.5,
+        waveSeedingCurvatureThresholdRegionCenter: float = 0.025,
+        waveSeedingCurvatureThresholdRegionRadius: float = 0.01,
+        waveSeedStepSizeRatioOfMax: float = 0.05):
+    from ..ops import surfaceturbulence as st
+    import dataclasses as _dc
+    p = st.SurfTurbParams(
+        outer_radius=outerRadius, surface_density=surfaceDensity,
+        maintenance_iters=nbSurfaceMaintenanceIterations, dt=dt,
+        wave_speed=waveSpeed, wave_damping=waveDamping,
+        wave_seed_frequency=waveSeedFrequency,
+        wave_max_amplitude=waveMaxAmplitude,
+        wave_max_frequency=waveMaxFrequency,
+        wave_max_seeding_amplitude=waveMaxSeedingAmplitude,
+        curv_thresh_center=waveSeedingCurvatureThresholdRegionCenter,
+        curv_thresh_radius=waveSeedingCurvatureThresholdRegionRadius,
+        seed_step_ratio=waveSeedStepSizeRatioOfMax)
+    frame = getattr(flags.solver, "frame", 0)
+    surf, displaced, n_at, h, dth, src, seed, seed_amp =         st.particle_surface_turbulence(
+            flags.data, coarseParts.parts, coarsePartsPrevPos.data,
+            surfPoints.parts, surfaceNormals.data, surfaceWaveH.data,
+            surfaceWaveDtH.data, surfaceWaveSource.data,
+            surfaceWaveSeed.data, surfaceWaveSeedAmplitude.data,
+            flags.dom, p, frame)
+    surfPoints.parts = surf
+    surfaceNormals.data = n_at
+    surfaceWaveH.data = h
+    surfaceWaveDtH.data = dth
+    surfaceWaveSource.data = src
+    surfaceWaveSeed.data = seed
+    surfaceWaveSeedAmplitude.data = seed_amp
+    surfacePointsDisplaced.parts = _dc.replace(surf, pos=displaced)
+    # update prev-pos record for the next frame
+    coarsePartsPrevPos.data = coarseParts.parts.pos
+
+
+# ---------------------------------------------------------------------------
 # APIC (plugin/apic.cpp)
 
 def apicMapPartsToMAC(flags: FlagGrid, vel: MACGrid,

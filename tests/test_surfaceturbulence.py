@@ -1,0 +1,70 @@
+"""Surface turbulence: fine surface points maintained on the coarse band,
+wave heights seeded by curvature, displaced output."""
+import numpy as np
+import jax.numpy as jnp
+
+from mantaflow_tpu import *
+from mantaflow_tpu.scene.papi import particleSurfaceTurbulence
+
+
+def test_particle_surface_turbulence():
+    res = 24
+    s = Solver(name="st", gridSize=vec3(res, res, res))
+    flags = s.create(FlagGrid)
+    flags.initDomain()
+    flags.fillGrid()
+
+    # coarse liquid: a ball of particles
+    pp = s.create(BasicParticleSystem)
+    ball = Sphere(s, center=vec3(12, 12, 12), radius=5)
+    sampleShapeWithParticles(shape=ball, flags=flags, parts=pp,
+                             discretization=2, randomness=0.2)
+    ppPrev = pp.create(PdataVec3)
+    ppPrev.data = pp.parts.pos
+
+    surf = s.create(BasicParticleSystem)
+    surfDisplaced = s.create(BasicParticleSystem)
+    normals = surf.create(PdataVec3)
+    waveH = surf.create(PdataReal)
+    waveDtH = surf.create(PdataReal)
+    waveSource = surf.create(PdataReal)
+    waveSeed = surf.create(PdataReal)
+    waveSeedAmp = surf.create(PdataReal)
+
+    import dataclasses
+    for frame in range(3):
+        # move the coarse ball slightly to exercise advection
+        pp.parts = dataclasses.replace(pp.parts,
+                                       pos=pp.parts.pos + jnp.asarray(
+                                           [0.2, 0.0, 0.0]))
+        particleSurfaceTurbulence(
+            flags=flags, coarseParts=pp, coarsePartsPrevPos=ppPrev,
+            surfPoints=surf, surfaceNormals=normals, surfaceWaveH=waveH,
+            surfaceWaveDtH=waveDtH, surfacePointsDisplaced=surfDisplaced,
+            surfaceWaveSource=waveSource, surfaceWaveSeed=waveSeed,
+            surfaceWaveSeedAmplitude=waveSeedAmp, res=res,
+            waveSeedingCurvatureThresholdRegionCenter=0.075,
+            waveSeedingCurvatureThresholdRegionRadius=0.075)
+        s.step()
+
+    act = np.asarray(surf.parts.active_mask())
+    n = act.sum()
+    assert n > 100  # the band was populated
+    pos = np.asarray(surf.parts.pos)[act]
+    # surface points sit near the coarse ball surface (moved to x~12.6)
+    r = np.linalg.norm(pos - np.array([12.6, 12.0, 12.0]), axis=1)
+    assert abs(np.median(r) - 5.9) < 1.2  # ball radius + union-levelset particle radius (~0.87)
+    # normals are unit-ish and outward-ish
+    nrm = np.asarray(normals.data)[act]
+    ln = np.linalg.norm(nrm, axis=1)
+    assert (np.abs(ln[ln > 0.1] - 1.0) < 0.2).mean() > 0.8
+    outward = ((pos - [12.6, 12, 12]) * nrm).sum(1)
+    assert (outward > 0).mean() > 0.8
+    # waves were seeded somewhere and stay bounded
+    h = np.asarray(waveH.data)[act]
+    assert np.isfinite(h).all()
+    assert np.abs(h).max() <= 0.25 + 1e-6
+    assert np.abs(h).max() > 0  # some seeding happened
+    # displaced output differs from base points where h != 0
+    disp = np.asarray(surfDisplaced.parts.pos)[act]
+    assert np.isfinite(disp).all()
