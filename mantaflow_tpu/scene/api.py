@@ -315,8 +315,12 @@ class FlagGrid(IntGrid):
         self.data = fl.init_domain(self.dom, boundaryWidth, wall, open,
                                    inflow, outflow)
         if phiWalls is not None:
-            # obstacle SDF of the wall shells (InitMin/Max*Wall)
-            phiWalls.data = _wall_sdf(self.dom, boundaryWidth, wall)
+            # obstacle SDF of the wall shells (InitMin/Max*Wall); only sides
+            # that remain obstacle get a wall (grid.cpp: initDomain skips
+            # open/inflow/outflow sides when stamping phiWalls)
+            eff = "".join(c for c in wall
+                          if c not in open + inflow + outflow)
+            phiWalls.data = _wall_sdf(self.dom, boundaryWidth, eff)
 
     def fillGrid(self, type: int = fl.TypeFluid):
         self.data = fl.fill_grid(self.data, type)

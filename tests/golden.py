@@ -1,0 +1,40 @@
+"""Golden-data regression helpers (reference tools/tests/helperInclude.py
+pattern, SURVEY.md §4): two-tier thresholds over abs-max per-cell diffs vs
+stored .uni goldens.
+
+- MANTA_GEN_TEST_DATA=1 regenerates the goldens (tests/testdata/*.uni);
+- normal runs load the golden and compare with gridMaxDiff semantics
+  (grid.cpp:437): a loose threshold for cross-platform float runs and a
+  strict one for same-platform reruns.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+TESTDATA = os.path.join(os.path.dirname(__file__), "testdata")
+
+
+def do_test_grid(name: str, grid, threshold: float,
+                 threshold_strict: float = 1e-5) -> bool:
+    """doTestGrid equivalent for scene-API grids (and raw arrays)."""
+    from mantaflow_tpu.io import uni as uio
+    os.makedirs(TESTDATA, exist_ok=True)
+    path = os.path.join(TESTDATA, name + ".uni")
+    arr = np.asarray(grid.data if hasattr(grid, "data") else grid)
+
+    if os.environ.get("MANTA_GEN_TEST_DATA") == "1" or not os.path.exists(path):
+        uio.write_grid_uni(path, arr)
+        return True
+
+    golden, _ = uio.read_grid_uni(path)
+    golden = np.asarray(golden, np.float64)
+    diff = np.abs(arr.astype(np.float64) - golden).max()
+    # strict tier applies when the golden was produced on this platform;
+    # we only assert the loose tier and report both (helperInclude.py:16-47)
+    ok = diff <= threshold
+    print(f"golden[{name}]: maxDiff={diff:.3e} loose<={threshold:g} "
+          f"strict<={threshold_strict:g} -> {'OK' if ok else 'FAIL'}")
+    return ok
