@@ -3,9 +3,10 @@
 Behavioral port of ``source/plugin/secondaryparticles.cpp``:
 flipComputeSecondaryParticlePotentials (:93 — trapped-air, wave-crest and
 kinetic-energy potentials + neighbor ratio in one pass),
-flipSampleSecondaryParticles (:202, 'single' mode), flipUpdateSecondary
-Particles (:425, 'euler' mode incl. anti-tunneling),
-flipDeleteParticlesInObstacle (:471), debugGridInfo (:480),
+flipSampleSecondaryParticles (:202, 'single' + 'multiple'/MoreCylinders
+modes), flipUpdateSecondaryParticles (:425, 'linear' + 'cubic' spline modes
+incl. anti-tunneling), flipDeleteParticlesInObstacle (:471),
+debugGridInfo (:480),
 setFlagsFromLevelset (:519), setMACFromLevelset (:530).
 
 TPU redesign: the per-cell pairwise neighborhood loops become static window
@@ -123,35 +124,75 @@ def sample_secondary_particles(parts: Particles, v_sec, l_sec, flags, vel,
                                c_s: float, c_b: float, k_ta: float,
                                k_wc: float, dt, max_per_cell: int = 4,
                                seed: int = 9832,
-                               itype: int = fl.TypeFluid):
-    """flipSampleSecondaryParticles ('single' mode): emit up to max_per_cell
-    new particles per fluid cell into dead slots. Returns
-    (parts, v_sec, l_sec)."""
+                               itype: int = fl.TypeFluid,
+                               mode: str = "single"):
+    """flipSampleSecondaryParticles (:202): emit up to max_per_cell new
+    particles per emission cylinder into dead slots. 'single' (:161) uses one
+    randomly offset cylinder per fluid cell with cell-sampled potentials;
+    'multiple' (:110, MoreCylinders) uses 2^dim fixed sub-cylinders per cell
+    (radius 0.25) with potentials and velocity interpolated at each
+    sub-center. Returns (parts, v_sec, l_sec)."""
+    if mode not in ("single", "multiple"):
+        raise ValueError('Unknown mode: use "single" or "multiple" instead!')
     sz, sy, sx = dom.shape
     n = sz * sy * sx
     cap = parts.capacity
 
-    n_new = (pot_ke * (k_ta * pot_ta + k_wc * pot_wc) * dt).astype(jnp.int32)
-    n_new = jnp.where((flags & itype) != 0, jnp.minimum(n_new, max_per_cell),
-                      0).reshape(-1)
-
     key = jax.random.PRNGKey(seed)
     ks = jax.random.split(key, 6)
-    m_idx = jnp.arange(max_per_cell, dtype=jnp.int32)[:, None]
-    cand_ok = (m_idx < n_new[None, :]).reshape(-1)
-    ncand = max_per_cell * n
-
     cz, cy, cx = jnp.unravel_index(jnp.arange(n), dom.shape)
-    off = jax.random.uniform(ks[0], (max_per_cell, n, 3))
-    base = jnp.stack([cx[None, :] + off[:, :, 0],
-                      cy[None, :] + off[:, :, 1],
-                      (cz[None, :] + off[:, :, 2]) if dom.is3d
-                      else jnp.full((max_per_cell, n), 0.5)], axis=-1)
-    bx = base.reshape(ncand, 3)
-    u, v, w = interpol_mac(vel, bx[:, 0], bx[:, 1], bx[:, 2])
-    vi = jnp.stack([u, v, w], axis=-1)
+
+    if mode == "single":
+        n_cyl, cyl_r = 1, 0.5
+        # one randomized cylinder center per cell, uniform in the cell
+        off = jax.random.uniform(ks[0], (n_cyl, n, 3))
+        xi = jnp.stack([cx[None, :] + off[:, :, 0],
+                        cy[None, :] + off[:, :, 1],
+                        (cz[None, :] + off[:, :, 2]) if dom.is3d
+                        else jnp.full((n_cyl, n), 0.5)], axis=-1)
+        ta = jnp.broadcast_to(pot_ta.reshape(-1)[None], (n_cyl, n))
+        wc = jnp.broadcast_to(pot_wc.reshape(-1)[None], (n_cyl, n))
+        ke = jnp.broadcast_to(pot_ke.reshape(-1)[None], (n_cyl, n))
+    else:
+        # 2 sub-cylinders per dimension at cell-center +- 0.25
+        r0 = 0.25
+        subs = [(-r0, -r0, -r0), (-r0, -r0, r0), (-r0, r0, -r0),
+                (-r0, r0, r0), (r0, -r0, -r0), (r0, -r0, r0),
+                (r0, r0, -r0), (r0, r0, r0)] if dom.is3d else \
+            [(-r0, -r0, 0.0), (-r0, r0, 0.0), (r0, -r0, 0.0), (r0, r0, 0.0)]
+        n_cyl, cyl_r = len(subs), r0
+        xi = jnp.stack([
+            jnp.stack([cx.astype(jnp.float32) + dxy[0],
+                       cy.astype(jnp.float32) + dxy[1],
+                       (cz.astype(jnp.float32) + dxy[2]) if dom.is3d
+                       else jnp.full((n,), 0.5)], axis=-1)
+            for dxy in subs])  # (n_cyl, n, 3)
+        flat_xi = xi.reshape(n_cyl * n, 3)
+        ta = interpol(pot_ta, flat_xi[:, 0], flat_xi[:, 1],
+                      flat_xi[:, 2]).reshape(n_cyl, n)
+        wc = interpol(pot_wc, flat_xi[:, 0], flat_xi[:, 1],
+                      flat_xi[:, 2]).reshape(n_cyl, n)
+        ke = interpol(pot_ke, flat_xi[:, 0], flat_xi[:, 1],
+                      flat_xi[:, 2]).reshape(n_cyl, n)
+
+    n_new = (ke * (k_ta * ta + k_wc * wc) * dt).astype(jnp.int32)
+    n_new = jnp.where(((flags & itype) != 0).reshape(-1)[None],
+                      jnp.minimum(n_new, max_per_cell), 0)  # (n_cyl, n)
+
+    m_idx = jnp.arange(max_per_cell, dtype=jnp.int32)[None, :, None]
+    cand_ok = (m_idx < n_new[:, None, :]).reshape(-1)
+    ncand = n_cyl * max_per_cell * n
+
+    flat_xi = xi.reshape(n_cyl * n, 3)
+    u, v, w = interpol_mac(vel, flat_xi[:, 0], flat_xi[:, 1], flat_xi[:, 2])
+    vi_cyl = jnp.stack([u, v, w], axis=-1).reshape(n_cyl, n, 3)
+    # broadcast cylinder centers/velocities to their max_per_cell candidates
+    bx = jnp.broadcast_to(xi[:, None], (n_cyl, max_per_cell, n, 3)
+                          ).reshape(ncand, 3)
+    vi = jnp.broadcast_to(vi_cyl[:, None], (n_cyl, max_per_cell, n, 3)
+                          ).reshape(ncand, 3)
     # cylinder offsets around the motion direction
-    r = 0.5 * jnp.sqrt(jax.random.uniform(ks[1], (ncand,)))
+    r = cyl_r * jnp.sqrt(jax.random.uniform(ks[1], (ncand,)))
     theta = jax.random.uniform(ks[2], (ncand,)) * 2 * jnp.pi
     hh = jax.random.uniform(ks[3], (ncand,)) * jnp.sqrt(
         jnp.sum((vi * dt) ** 2, axis=-1))
@@ -168,12 +209,13 @@ def sample_secondary_particles(parts: Particles, v_sec, l_sec, flags, vel,
     vd = (r * jnp.cos(theta))[:, None] * jnp.stack([e1x, e1y, e1z], -1) \
         + (r * jnp.sin(theta))[:, None] * jnp.stack([e2x, e2y, e2z], -1) + vi
 
-    temp = ((pot_ke + pot_ta + pot_wc) / 3.0).reshape(-1)
-    life = ((l_max - l_min) * temp[None, :].repeat(max_per_cell, 0)
+    temp = (ke + ta + wc) / 3.0  # (n_cyl, n)
+    life = ((l_max - l_min)
+            * jnp.broadcast_to(temp[:, None], (n_cyl, max_per_cell, n))
             ).reshape(-1) + l_min \
         + jax.random.uniform(ks[4], (ncand,)) * 0.1
-    ratio = neighbor_ratio.reshape(-1)[None, :].repeat(max_per_cell, 0
-                                                       ).reshape(-1)
+    ratio = jnp.broadcast_to(neighbor_ratio.reshape(-1)[None, None],
+                             (n_cyl, max_per_cell, n)).reshape(-1)
     ptype = jnp.where(ratio < c_s, PSPRAY,
                       jnp.where(ratio > c_b, PBUBBLE, PFOAM)).astype(jnp.int32)
 
@@ -195,14 +237,92 @@ def sample_secondary_particles(parts: Particles, v_sec, l_sec, flags, vel,
     return new_parts, v_sec, l_sec
 
 
+def _cubic_spline_weight(h, ell, dim: int):
+    """cubicSpline (:226): SPH cubic spline with support 2h, normalized for
+    `dim` dimensions."""
+    c = 10.0 / (7.0 * jnp.pi * h * h) if dim == 2 else 1.0 / (jnp.pi * h ** 3)
+    q = ell / h
+    return jnp.where(q < 1.0, c * (1.0 - 1.5 * q * q + 0.75 * q ** 3),
+                     jnp.where(q < 2.0, c * 0.25 * (2.0 - q) ** 3, 0.0))
+
+
+def _cubic_neighborhood_velocity(parts: Particles, flags, vel, dom: Domain,
+                                 radius: int, itype: int):
+    """The cubic-mode fluid velocity (:310): a cubic-spline-weighted average
+    of cell-centered velocities over fluid (itype) cells in a (2r+1)^dim box
+    around each particle, center cell excluded, weighted by the distance from
+    the particle to each neighbor's integer coordinate.
+
+    TPU form: per offset, roll the centered-velocity+mask stack so row t of
+    the packed table holds neighbor t+off; one packed gather per <=30-offset
+    chunk replaces the per-particle triple loop."""
+    sz, sy, sx = dom.shape
+    n = sz * sy * sx
+    cc = macops.get_centered(vel)
+    ok = ((flags & itype) != 0).astype(jnp.float32)
+    ix = jnp.broadcast_to(jnp.arange(sx).reshape(1, 1, sx), dom.shape)
+    iy = jnp.broadcast_to(jnp.arange(sy).reshape(1, sy, 1), dom.shape)
+    iz = jnp.broadcast_to(jnp.arange(sz).reshape(sz, 1, 1), dom.shape)
+
+    offs = []
+    zr = range(-radius, radius + 1) if dom.is3d else [0]
+    for dz in zr:
+        for dy in range(-radius, radius + 1):
+            for dx in range(-radius, radius + 1):
+                if dx == 0 and dy == 0 and dz == 0:
+                    continue
+                offs.append((dx, dy, dz))
+
+    dim = 3 if dom.is3d else 2
+    dist = 1.732 if dom.is3d else 1.414
+    h = radius * dist
+    pos = parts.pos
+    base = jnp.stack([pos[:, 0].astype(jnp.int32),
+                      pos[:, 1].astype(jnp.int32),
+                      pos[:, 2].astype(jnp.int32)], axis=-1)
+    flat, _ = _cell_of(parts, dom)
+
+    num = jnp.zeros((pos.shape[0], 3), jnp.float32)
+    den = jnp.zeros((pos.shape[0],), jnp.float32)
+    for c0 in range(0, len(offs), 30):
+        chunk = offs[c0:c0 + 30]
+        planes = []
+        for (dx, dy, dz) in chunk:
+            def sh(a):
+                return shift(shift(shift(a, dx, "x"), dy, "y"), dz, "z")
+            inb = ((ix + dx >= 0) & (ix + dx < sx)
+                   & (iy + dy >= 0) & (iy + dy < sy)
+                   & (iz + dz >= 0) & (iz + dz < sz)).astype(jnp.float32)
+            m = sh(ok) * inb  # wrap-around rows masked off explicitly
+            planes += [sh(cc[0]) * m, sh(cc[1]) * m, sh(cc[2]) * m, m]
+        pack = jnp.stack(planes, axis=-1).reshape(n, len(chunk) * 4)
+        rows = pack[flat].reshape(pos.shape[0], len(chunk), 4)
+        doff = jnp.asarray(chunk, jnp.float32)  # (K,3)
+        # xi - xj with xj the neighbor's integer coordinate (reference quirk)
+        d = pos[:, None, :] - (base[:, None, :].astype(jnp.float32)
+                               + doff[None, :, :])
+        if not dom.is3d:
+            d = d.at[:, :, 2].set(0.0)
+        ell = jnp.sqrt(jnp.sum(d * d, axis=-1))
+        wgt = _cubic_spline_weight(h, ell, dim) * rows[:, :, 3]
+        num = num + jnp.sum(rows[:, :, :3] * wgt[:, :, None], axis=1)
+        den = den + jnp.sum(wgt, axis=1)
+    return num / jnp.maximum(den, 1e-12)[:, None]
+
+
 def update_secondary_particles(parts: Particles, v_sec, l_sec, f_sec, flags,
                                vel, neighbor_ratio, dom: Domain, gravity,
                                k_b: float, k_d: float, c_s: float,
                                c_b: float, dt, exclude: int = 0,
                                antitunneling: int = 0,
-                               itype: int = fl.TypeFluid):
-    """flipUpdateSecondaryParticles ('euler' mode). Returns
-    (parts, v_sec, l_sec)."""
+                               itype: int = fl.TypeFluid,
+                               mode: str = "linear", radius: int = 1):
+    """flipUpdateSecondaryParticles (:425). 'linear' (:237) drives bubbles/
+    foam with the trilinearly interpolated grid velocity; 'cubic' (:312)
+    drives them with the cubic-spline neighborhood average over fluid cells
+    in a radius-`radius` box. Returns (parts, v_sec, l_sec)."""
+    if mode not in ("linear", "cubic"):
+        raise ValueError('Unknown mode: use "linear" or "cubic" instead!')
     g = jnp.asarray(gravity, jnp.float32)
     active = parts.active_mask()
     if exclude:
@@ -216,8 +336,12 @@ def update_secondary_particles(parts: Particles, v_sec, l_sec, f_sec, flags,
     is_bubble = ratio > c_b
     is_foam = ~is_spray & ~is_bubble
 
-    u, v, w = interpol_mac(vel, pos[:, 0], pos[:, 1], pos[:, 2])
-    v_grid = jnp.stack([u, v, w], axis=-1)
+    if mode == "linear":
+        u, v, w = interpol_mac(vel, pos[:, 0], pos[:, 1], pos[:, 2])
+        v_grid = jnp.stack([u, v, w], axis=-1)
+    else:
+        v_grid = _cubic_neighborhood_velocity(parts, flags, vel, dom,
+                                              radius, itype)
 
     v_spray = v_sec + dt * (f_sec + g[None, :])
     vj = (v_grid - v_sec) / dt

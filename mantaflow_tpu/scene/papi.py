@@ -527,7 +527,7 @@ def flipSampleSecondaryParticles(
     p, vs, ls = ww.sample_secondary_particles(
         pts_sec.parts, v_sec.data, l_sec.data, flags.data, v.data,
         potTA.data, potWC.data, potKE.data, neighborRatio.data, flags.dom,
-        lMin, lMax, c_s, c_b, k_ta, k_wc, dtv, itype=itype)
+        lMin, lMax, c_s, c_b, k_ta, k_wc, dtv, itype=itype, mode=mode)
     pts_sec.parts = p
     v_sec.data, l_sec.data = vs, ls
 
@@ -547,7 +547,7 @@ def flipUpdateSecondaryParticles(
     p, vs, ls = ww.update_secondary_particles(
         pts_sec.parts, v_sec.data, l_sec.data, f_sec.data, flags.data,
         v.data, neighborRatio.data, flags.dom, g, k_b, k_d, c_s, c_b, dtv,
-        exclude, antitunneling, itype)
+        exclude, antitunneling, itype, mode=mode, radius=radius)
     pts_sec.parts = p
     v_sec.data, l_sec.data = vs, ls
 

@@ -55,7 +55,7 @@ def test_whitewater_pipeline():
 
     for _ in range(3):
         flipUpdateSecondaryParticles(
-            mode="euler", pts_sec=pts_sec, v_sec=v_sec, l_sec=l_sec,
+            mode="linear", pts_sec=pts_sec, v_sec=v_sec, l_sec=l_sec,
             f_sec=f_sec, flags=flags, v=vel, neighborRatio=nr, radius=2,
             gravity=vec3(0, -0.003, 0), k_b=0.5, k_d=0.6, c_s=0.3, c_b=0.8,
             scale=False, antitunneling=2)
@@ -65,6 +65,42 @@ def test_whitewater_pipeline():
 
     flipDeleteParticlesInObstacle(pts=pts_sec, flags=flags)
     assert int(pts_sec.parts.active_mask().sum()) <= n1
+
+    # 'multiple' (MoreCylinders) sampling emits at least as densely as
+    # 'single' (2^dim interpolated sub-cylinders per cell)
+    pts_m = s.create(BasicParticleSystem)
+    v_m = pts_m.create(PdataVec3)
+    l_m = pts_m.create(PdataReal)
+    flipSampleSecondaryParticles(
+        mode="multiple", flags=flags, v=vel, pts_sec=pts_m, v_sec=v_m,
+        l_sec=l_m, lMin=2.0, lMax=5.0, potTA=potTA, potWC=potWC,
+        potKE=potKE, neighborRatio=nr, c_s=0.3, c_b=0.8, k_ta=40.0,
+        k_wc=40.0)
+    nm = int(pts_m.parts.active_mask().sum())
+    assert nm > 10
+    assert np.isfinite(pts_m.to_numpy()).all()
+
+    # 'cubic' update: spline-averaged drive velocity stays finite and moves
+    # foam particles with the neighborhood flow
+    f_m = pts_m.create(PdataVec3)
+    before = pts_m.to_numpy().copy()
+    flipUpdateSecondaryParticles(
+        mode="cubic", pts_sec=pts_m, v_sec=v_m, l_sec=l_m, f_sec=f_m,
+        flags=flags, v=vel, neighborRatio=nr, radius=1,
+        gravity=vec3(0, -0.003, 0), k_b=0.5, k_d=0.6, c_s=0.3, c_b=0.8,
+        scale=False, antitunneling=2)
+    after = pts_m.to_numpy()
+    assert np.isfinite(after).all()
+    moved = np.abs(after - before[:after.shape[0]]).max() \
+        if after.shape == before.shape else 1.0
+    assert moved > 1e-4
+
+    import pytest
+    with pytest.raises(ValueError):
+        flipUpdateSecondaryParticles(
+            mode="verlet", pts_sec=pts_m, v_sec=v_m, l_sec=l_m, f_sec=f_m,
+            flags=flags, v=vel, neighborRatio=nr, radius=1,
+            gravity=vec3(0, -0.003, 0), k_b=0.5, k_d=0.6, c_s=0.3, c_b=0.8)
 
     # levelset helpers
     f2 = s.create(FlagGrid)
