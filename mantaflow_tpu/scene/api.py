@@ -110,6 +110,13 @@ class vec3(tuple):
 Vec3 = vec3  # manta exposes both spellings
 
 
+def Vec4(x, y=None, z=None, t=None):
+    """4-component vector literal for the Grid4d API (vector.h Vec4)."""
+    if y is None:
+        y = z = t = x
+    return (float(x), float(y), float(z), float(t))
+
+
 def vec3i(x, y=None, z=None):
     if y is None:
         y = z = x
@@ -828,8 +835,14 @@ class Grid4Base:
     def setConst(self, v):
         self.data = jnp.full_like(self.data, v)
 
+    def clear(self):
+        self.data = jnp.zeros_like(self.data)
+
     def add(self, other):
         self.data = self.data + other.data
+
+    def sub(self, other):
+        self.data = self.data - other.data
 
     def multConst(self, v):
         self.data = self.data * v
@@ -839,16 +852,56 @@ class Grid4Base:
 
     def getInterpolated(self, pos4):
         from ..core import grid4d as g4
-        return float(g4.interpol4d(self.data, jnp.float32(pos4[0]),
-                                   jnp.float32(pos4[1]),
-                                   jnp.float32(pos4[2]),
-                                   jnp.float32(pos4[3])))
+        args = tuple(jnp.float32(pos4[c]) for c in range(4))
+        if self.channels:
+            return tuple(float(g4.interpol4d(self.data[c], *args))
+                         for c in range(self.channels))
+        return float(g4.interpol4d(self.data, *args))
 
     def to_numpy(self):
         return np.asarray(self.data)
 
     def from_numpy(self, arr):
         self.data = jnp.asarray(arr, self.dtype).reshape(self.data.shape)
+
+    def _bnd_mask(self, w: int):
+        st, sz, sy, sx = self.data.shape[-4:]
+        i = jnp.arange(sx).reshape(1, 1, 1, sx)
+        j = jnp.arange(sy).reshape(1, 1, sy, 1)
+        k = jnp.arange(sz).reshape(1, sz, 1, 1)
+        t = jnp.arange(st).reshape(st, 1, 1, 1)
+        return ((i <= w) | (i >= sx - 1 - w) | (j <= w) | (j >= sy - 1 - w)
+                | (k <= w) | (k >= sz - 1 - w) | (t <= w) | (t >= st - 1 - w))
+
+    def setBound(self, value, boundaryWidth: int = 0):
+        """knSetBnd4d (grid4d.cpp:299): constant on the 4D boundary shell."""
+        m = self._bnd_mask(boundaryWidth)
+        if self.channels:
+            v = jnp.asarray(tuple(value), self.dtype)
+            self.data = jnp.where(m[None], v.reshape(-1, 1, 1, 1, 1),
+                                  self.data)
+        else:
+            self.data = jnp.where(m, jnp.asarray(value, self.dtype),
+                                  self.data)
+
+    def setBoundNeumann(self, boundaryWidth: int = 0):
+        """knSetBnd4dNeumann (grid4d.cpp:313): copy the nearest interior
+        value onto the boundary shell (per-axis clamped source index)."""
+        st, sz, sy, sx = self.data.shape[-4:]
+        w = boundaryWidth
+
+        def src_idx(n):
+            r = jnp.arange(n)
+            return jnp.clip(r, w + 1, n - 2 - w)
+
+        d = jnp.take(self.data, src_idx(sx), axis=-1)
+        d = jnp.take(d, src_idx(sy), axis=-2)
+        d = jnp.take(d, src_idx(sz), axis=-3)
+        d = jnp.take(d, src_idx(st), axis=-4)
+        m = self._bnd_mask(w)
+        if self.channels:
+            m = m[None]
+        self.data = jnp.where(m, d, self.data)
 
 
 class Grid4Real(Grid4Base):
@@ -879,23 +932,102 @@ def setSliceTo4d(src, dst: Grid4Real, dstt: int):
         dst.data = dst.data.at[:, dstt].set(src.data)
 
 
+def getComp4d(src: Grid4Vec4, dst: Grid4Real, c: int):
+    """getComp4d (grid4d.cpp:295): extract one component of a Vec4 grid."""
+    dst.data = src.data[c]
+
+
+def setComp4d(src: Grid4Real, dst: Grid4Vec4, c: int):
+    """setComp4d (grid4d.cpp:296)."""
+    dst.data = dst.data.at[c].set(src.data)
+
+
+def grid4dMaxDiff(g1: Grid4Real, g2: Grid4Real) -> float:
+    """grid4dMaxDiff (grid4d.cpp:352): max per-cell |difference|."""
+    return float(jnp.max(jnp.abs(g1.data.astype(jnp.float32)
+                                 - g2.data.astype(jnp.float32))))
+
+
+def grid4dMaxDiffInt(g1: Grid4Int, g2: Grid4Int) -> float:
+    return grid4dMaxDiff(g1, g2)
+
+
+def grid4dMaxDiffVec3(g1: Grid4Vec3, g2: Grid4Vec3) -> float:
+    """grid4dMaxDiffVec3 (grid4d.cpp:368): max over cells of the SUM of
+    per-component |differences| (reference sums components per cell)."""
+    d = jnp.abs(g1.data.astype(jnp.float32) - g2.data.astype(jnp.float32))
+    return float(jnp.max(jnp.sum(d, axis=0)))
+
+
+def grid4dMaxDiffVec4(g1: Grid4Vec4, g2: Grid4Vec4) -> float:
+    return grid4dMaxDiffVec3(g1, g2)
+
+
+def _region4d_mask(shape4, start, end):
+    st, sz, sy, sx = shape4
+    i = jnp.arange(sx).reshape(1, 1, 1, sx)
+    j = jnp.arange(sy).reshape(1, 1, sy, 1)
+    k = jnp.arange(sz).reshape(1, sz, 1, 1)
+    t = jnp.arange(st).reshape(st, 1, 1, 1)
+    return ((i >= start[0]) & (i <= end[0]) & (j >= start[1])
+            & (j <= end[1]) & (k >= start[2]) & (k <= end[2])
+            & (t >= start[3]) & (t <= end[3]))
+
+
+def setRegion4d(dst: Grid4Real, start, end, value: float):
+    """setRegion4d (grid4d.cpp:402): constant fill of an ijkt box."""
+    m = _region4d_mask(dst.data.shape[-4:], tuple(start), tuple(end))
+    dst.data = jnp.where(m, jnp.asarray(value, dst.dtype), dst.data)
+
+
+def setRegion4dVec4(dst: Grid4Vec4, start, end, value):
+    m = _region4d_mask(dst.data.shape[-4:], tuple(start), tuple(end))
+    v = jnp.asarray(tuple(value), dst.dtype).reshape(-1, 1, 1, 1, 1)
+    dst.data = jnp.where(m[None], v, dst.data)
+
+
+def getSliceFrom4dVec(src: Grid4Vec4, srct: int, dst, dstt=None):
+    """getSliceFrom4dVec (grid4d.cpp:420): xyz components of time slice srct
+    into a Vec3 grid, optionally the t component into a Real grid."""
+    dst.data = src.data[:3, srct]
+    if dstt is not None:
+        dstt.data = src.data[3, srct]
+
+
 def interpolateGrid4d(target: Grid4Base, source: Grid4Base,
-                      scale=(1, 1, 1, 1), offset=(0, 0, 0, 0)):
-    """interpolateGrid4d: resample a 4D grid to a new resolution."""
+                      offset=(0, 0, 0, 0), scale=(1, 1, 1, 1),
+                      size=(-1, -1, -1, -1)):
+    """interpolateGrid4d(+Vec) (grid4d.cpp:455-468): resample a 4D grid;
+    pos = ijkt*srcFac - offset*srcFac + srcFac/2, srcFac from the size
+    ratio (overridable via `size`) divided by `scale`."""
     from ..core import grid4d as g4
     st, sz, sy, sx = target.data.shape[-4:]
-    ss = source.data.shape[-4:]
-    f = [ss[3 - c] / target.data.shape[::-1][c] / scale[c] for c in range(4)]
-    xs = (jnp.arange(sx, dtype=jnp.float32).reshape(1, 1, 1, sx)) * f[0] + f[0] * 0.5
-    ys = (jnp.arange(sy, dtype=jnp.float32).reshape(1, 1, sy, 1)) * f[1] + f[1] * 0.5
-    zs = (jnp.arange(sz, dtype=jnp.float32).reshape(1, sz, 1, 1)) * f[2] + f[2] * 0.5
-    ts = (jnp.arange(st, dtype=jnp.float32).reshape(st, 1, 1, 1)) * f[3] + f[3] * 0.5
+    ss = source.data.shape[-4:]  # (T,Z,Y,X)
+    tgt = [sx, sy, sz, st]
+    eff = [size[c] if size[c] > 0 else tgt[c] for c in range(4)]
+    f = [ss[3 - c] / eff[c] / scale[c] for c in range(4)]
+    off2 = [-offset[c] * f[c] + f[c] * 0.5 for c in range(4)]
+    xs = jnp.arange(sx, dtype=jnp.float32).reshape(1, 1, 1, sx) * f[0] + off2[0]
+    ys = jnp.arange(sy, dtype=jnp.float32).reshape(1, 1, sy, 1) * f[1] + off2[1]
+    zs = jnp.arange(sz, dtype=jnp.float32).reshape(1, sz, 1, 1) * f[2] + off2[2]
+    ts = jnp.arange(st, dtype=jnp.float32).reshape(st, 1, 1, 1) * f[3] + off2[3]
     shape = (st, sz, sy, sx)
     px = jnp.broadcast_to(xs, shape)
     py = jnp.broadcast_to(ys, shape)
     pz = jnp.broadcast_to(zs, shape)
     pt = jnp.broadcast_to(ts, shape)
-    target.data = g4.interpol4d(source.data, px, py, pz, pt)
+    if target.channels:
+        target.data = jnp.stack([
+            g4.interpol4d(source.data[c], px, py, pz, pt)
+            for c in range(target.channels)])
+    else:
+        target.data = g4.interpol4d(source.data, px, py, pz, pt)
+
+
+def interpolateGrid4dVec(target: Grid4Vec4, source: Grid4Vec4,
+                         offset=(0, 0, 0, 0), scale=(1, 1, 1, 1),
+                         size=(-1, -1, -1, -1)):
+    interpolateGrid4d(target, source, offset, scale, size)
 
 
 def printBuildInfo():
