@@ -270,6 +270,74 @@ def subdivide_mesh(nodes, tris, max_length: float):
     return np.concatenate(new_nodes, axis=0), np.concatenate(out, axis=0)
 
 
+def collapse_edges(nodes, tris, min_length: float = 0.0,
+                   min_angle: float = 0.0):
+    """Edge-collapse sweep of subdivideMesh (meshplugins.cpp:120-290):
+    collapse edges shorter than minLength, and the short edge of triangles
+    whose smallest angle (reference small-angle metric 1-dot(e_i, -e_{i-1}))
+    falls below minAngle. One sweep per call, like the reference.
+
+    TPU-framework form: the reference's corner-walking CollapseEdge with
+    tainted-triangle bookkeeping is replaced by a greedy independent set of
+    candidate edges (no two share a node) applied in one vectorized remap:
+    b merges into a at the edge midpoint, degenerate and duplicate triangles
+    drop, unused nodes compact away. Host-side numpy, as mesh adaptation is
+    in the reference too."""
+    nodes = np.asarray(nodes, np.float32)
+    tris = np.asarray(tris, np.int32)
+    if len(tris) == 0 or (min_length <= 0.0 and min_angle <= 0.0):
+        return nodes, tris
+
+    e = nodes[tris]
+    ev = np.stack([e[:, 1] - e[:, 0], e[:, 2] - e[:, 1],
+                   e[:, 0] - e[:, 2]], axis=1)  # edge i: node i -> i+1
+    lens = np.linalg.norm(ev, axis=2)
+    cand = []  # (length, a, b)
+    if min_length > 0.0:
+        for i in range(3):
+            short = lens[:, i] < min_length
+            for t in np.nonzero(short)[0]:
+                a, b = tris[t, i], tris[t, (i + 1) % 3]
+                cand.append((lens[t, i], a, b))
+    if min_angle > 0.0:
+        ne = ev / np.maximum(lens, 1e-30)[:, :, None]
+        ang = np.stack([1.0 - np.sum(ne[:, 0] * -ne[:, 2], axis=1),
+                        1.0 - np.sum(ne[:, 1] * -ne[:, 0], axis=1),
+                        1.0 - np.sum(ne[:, 2] * -ne[:, 1], axis=1)], axis=1)
+        worst = ang.min(axis=1)
+        for t in np.nonzero(worst < min_angle)[0]:
+            i = int(np.argmin(lens[t]))  # collapse the short edge
+            a, b = tris[t, i], tris[t, (i + 1) % 3]
+            cand.append((lens[t, i], a, b))
+    if not cand:
+        return nodes, tris
+
+    cand.sort(key=lambda c: c[0])
+    used = np.zeros(len(nodes), bool)
+    remap = np.arange(len(nodes), dtype=np.int32)
+    newpos = nodes.copy()
+    for (_, a, b) in cand:
+        if used[a] or used[b] or a == b:
+            continue
+        used[a] = used[b] = True
+        remap[b] = a
+        newpos[a] = 0.5 * (nodes[a] + nodes[b])
+
+    t2 = remap[tris]
+    ok = (t2[:, 0] != t2[:, 1]) & (t2[:, 1] != t2[:, 2]) \
+        & (t2[:, 2] != t2[:, 0])
+    t2 = t2[ok]
+    # drop duplicate triangles created by the merge (same node set)
+    key = np.sort(t2, axis=1)
+    _, uniq = np.unique(key, axis=0, return_index=True)
+    t2 = t2[np.sort(uniq)]
+    # compact unused nodes
+    alive = np.zeros(len(nodes), bool)
+    alive[t2.reshape(-1)] = True
+    newid = np.cumsum(alive).astype(np.int32) - 1
+    return newpos[alive], newid[t2]
+
+
 def kill_small_components(nodes, tris, min_elements: int = 10):
     """killSmallComponents (meshplugins.cpp:563): drop connected components
     with fewer than minElements triangles."""

@@ -102,8 +102,11 @@ def smoothMesh(mesh: Mesh, strength: float = 1.0, steps: int = 1,
 
 def subdivideMesh(mesh: Mesh, minAngle: float = 0.0, minLength: float = 0.0,
                   maxLength: float = 2.0, cutTubes: bool = False):
-    mesh.nodes, mesh.tris = cmesh.subdivide_mesh(mesh.nodes, mesh.tris,
-                                                 maxLength)
+    """subdivideMesh (meshplugins.cpp:108): collapse short/sliver edges,
+    then split edges longer than maxLength (reference sweep order)."""
+    nodes, tris = cmesh.collapse_edges(mesh.nodes, mesh.tris, minLength,
+                                       minAngle)
+    mesh.nodes, mesh.tris = cmesh.subdivide_mesh(nodes, tris, maxLength)
 
 
 def killSmallComponents(mesh: Mesh, elements: int = 10):

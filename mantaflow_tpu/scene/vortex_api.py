@@ -154,21 +154,30 @@ class TurbulenceParticleSystem:
 
 
 class VortexSheetMesh(Mesh):
-    """Mesh carrying per-triangle circulation/vorticity (vortexsheet.h:60-77)."""
+    """Mesh carrying per-triangle circulation/vorticity/smoke and two node
+    texcoord3 channels (vortexsheet.h:38-82)."""
 
     def __init__(self, solver: Solver, name: str = ""):
         super().__init__(solver, name)
         self.tri_vorticity = np.zeros((0, 3), np.float32)
         self.tri_vorticity_smoothed = np.zeros((0, 3), np.float32)
+        self.tri_circulation = np.zeros((0, 3), np.float32)
+        self.tri_smoke = np.zeros((0,), np.float32)
         self.node_fixed = np.zeros((0,), bool)
+        self.tex1 = np.zeros((0, 3), np.float32)
+        self.tex2 = np.zeros((0, 3), np.float32)
+        self.tex_offset = np.zeros(3, np.float32)
 
     def _sync(self):
         nt = self.numTris()
         if self.tri_vorticity.shape[0] != nt:
             self.tri_vorticity = np.zeros((nt, 3), np.float32)
             self.tri_vorticity_smoothed = np.zeros((nt, 3), np.float32)
+            self.tri_circulation = np.zeros((nt, 3), np.float32)
+            self.tri_smoke = np.zeros((nt,), np.float32)
         if self.node_fixed.shape[0] != self.numNodes():
             self.node_fixed = np.zeros((self.numNodes(),), bool)
+            self.reinitTexCoords()
 
     def faceCenters(self):
         return self.nodes[self.tris].mean(axis=1)
@@ -182,11 +191,55 @@ class VortexSheetMesh(Mesh):
         n = n / np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-12)
         return n, area
 
-    def calcCirculation(self):
-        self._sync()
+    def _edges(self):
+        """Per-tri edge vectors (e0,e1,e2) as (nt,3,3)."""
+        p = self.nodes[self.tris]
+        return np.stack([p[:, 1] - p[:, 0], p[:, 2] - p[:, 1],
+                         p[:, 0] - p[:, 2]], axis=1)
 
     def calcVorticity(self):
+        """vorticity = (c0*e0 + c1*e1 + c2*e2)/area (vortexsheet.cpp:47)."""
         self._sync()
+        e = self._edges()
+        _, area = self.faceNormalsAreas()
+        w = np.einsum("tc,tcd->td", self.tri_circulation, e) \
+            / np.maximum(area, 1e-10)[:, None]
+        bad = area < 1e-10
+        w[bad] = 0.0
+        self.tri_vorticity = w.astype(np.float32)
+
+    def calcCirculation(self):
+        """Least-squares per-tri edge coefficients for the stored vorticity
+        (vortexsheet.cpp:61, SolveOverconstraint34 equivalent): minimize
+        |c0*e0 + c1*e1 + c2*e2 - w|, circulation = c * area."""
+        self._sync()
+        e = self._edges()  # (nt, 3 coeffs, 3 dims)
+        _, area = self.faceNormalsAreas()
+        w = self.tri_vorticity
+        # normal equations E E^T c = E w with E rows = edge vectors;
+        # Tikhonov scaled to the gram trace keeps sliver tris solvable
+        g = np.einsum("tcd,tkd->tck", e, e).astype(np.float64)
+        tr = np.trace(g, axis1=1, axis2=2)
+        g += (1e-6 * tr + 1e-12)[:, None, None] * np.eye(3)[None]
+        rhs = np.einsum("tcd,td->tc", e, w).astype(np.float64)
+        c = np.linalg.solve(g, rhs[:, :, None])[:, :, 0]
+        c *= area[:, None]
+        c[(area < 1e-10) | (np.sum(w * w, axis=1) < 1e-10)] = 0.0
+        self.tri_circulation = c.astype(np.float32)
+
+    def setReferenceTexOffset(self, o):
+        self.tex_offset = np.asarray(o, np.float32)
+
+    def resetTex1(self):
+        self.tex1 = (self.nodes + self.tex_offset[None]).astype(np.float32)
+
+    def resetTex2(self):
+        self.tex2 = (self.nodes + self.tex_offset[None]).astype(np.float32)
+
+    def reinitTexCoords(self):
+        """reinitTexCoords (vortexsheet.cpp:88)."""
+        self.resetTex1()
+        self.resetTex2()
 
 
 def markAsFixed(mesh: VortexSheetMesh, shape):
@@ -279,15 +332,33 @@ def densityFromLevelset(phi: LevelsetGrid, density: RealGrid,
     density.data = vx.density_from_levelset(phi.data, phi.dom, value, sigma)
 
 
-def texcoordInflow(mesh: VortexSheetMesh, inflowRegion, vel: MACGrid):
-    """texcoordInflow (vortexplugins.cpp:41): reset tex coords in the inflow
-    region (stored per node as positions)."""
+def texcoordInflow(mesh: VortexSheetMesh, shape, vel: MACGrid):
+    """texcoordInflow (vortexplugins.cpp:41): advance the reference tex
+    offset against the mean inflow velocity and pin both texcoord channels
+    to pos + offset inside the shape (effective inflow advection)."""
     mesh._sync()
+    from ..core import mac as macops
+    dom = vel.dom
+    inside_g = np.asarray(shape.shape.compute_levelset(dom)) < 0
+    cc = np.asarray(macops.get_centered(vel.data))
+    cnt = max(int(inside_g.sum()), 1)
+    mean_v = np.stack([cc[c][inside_g].sum() for c in range(3)]) / cnt
+    t0 = mesh.tex_offset - mesh.solver.timestep * mean_v.astype(np.float32)
+    mesh.setReferenceTexOffset(t0)
+    inside = np.asarray(shape.shape.is_inside(
+        jnp.asarray(mesh.nodes[:, 0]), jnp.asarray(mesh.nodes[:, 1]),
+        jnp.asarray(mesh.nodes[:, 2])))
+    tc = mesh.nodes + t0[None]
+    mesh.tex1 = np.where(inside[:, None], tc, mesh.tex1).astype(np.float32)
+    mesh.tex2 = np.where(inside[:, None], tc, mesh.tex2).astype(np.float32)
 
 
-def meshSmokeInflow(mesh: VortexSheetMesh, phi: LevelsetGrid,
-                    density: RealGrid):
-    """meshSmokeInflow (vortexplugins.cpp:69): stamp density inside mesh."""
-    from ..core.mesh import mesh_to_levelset
-    sdf = mesh_to_levelset(mesh.nodes, mesh.tris, density.dom)
-    density.data = jnp.where(sdf < 0.0, 1.0, density.data)
+def meshSmokeInflow(mesh: VortexSheetMesh, shape, amount: float = 1.0):
+    """meshSmokeInflow (vortexplugins.cpp:69): set the per-triangle smoke
+    amount for faces whose center lies inside the shape."""
+    mesh._sync()
+    fc = mesh.faceCenters()
+    inside = np.asarray(shape.shape.is_inside(
+        jnp.asarray(fc[:, 0]), jnp.asarray(fc[:, 1]), jnp.asarray(fc[:, 2])))
+    mesh.tri_smoke = np.where(inside, np.float32(amount),
+                              mesh.tri_smoke).astype(np.float32)

@@ -81,3 +81,33 @@ def test_topology_ops():
     n0 = mesh.numNodes()
     subdivideMesh(mesh, maxLength=0.7)
     assert mesh.numNodes() > n0
+
+
+def test_edge_collapse():
+    res = 24
+    s = Solver(name="m", gridSize=vec3(res, res, res))
+    phi = Sphere(s, center=vec3(12, 12, 12), radius=6).computeLevelset()
+    mesh = s.create(Mesh)
+    phi.createMesh(mesh)
+    n0, t0 = mesh.numNodes(), mesh.numTris()
+
+    # collapsing short edges coarsens the mesh but keeps it a valid sphere
+    subdivideMesh(mesh, minAngle=0.01, minLength=0.8, maxLength=100.0)
+    assert mesh.numNodes() < n0
+    assert mesh.numTris() < t0
+    assert mesh.numTris() > 50
+    assert mesh.tris.min() >= 0 and mesh.tris.max() < mesh.numNodes()
+    # no degenerate triangles survive
+    t = mesh.tris
+    assert ((t[:, 0] != t[:, 1]) & (t[:, 1] != t[:, 2])
+            & (t[:, 2] != t[:, 0])).all()
+    # geometry preserved: vertices still near the sphere
+    r = np.linalg.norm(mesh.nodes - 12.0, axis=1)
+    assert abs(r.mean() - 6.0) < 0.3
+
+    # collapse then re-split round trip stays finite and bounded
+    subdivideMesh(mesh, minLength=0.5, maxLength=0.9)
+    assert np.isfinite(mesh.nodes).all()
+    e = mesh.nodes[mesh.tris]
+    lens = np.linalg.norm(e[:, 0] - e[:, 1], axis=1)
+    assert lens.max() < 2.0

@@ -90,3 +90,46 @@ def test_turbulence_particles():
 
     tp.deleteInObstacle(flags)
     assert tp.size() <= 200
+
+
+def test_vortex_sheet_channels():
+    """Circulation <-> vorticity round trip, texcoords, smoke channel."""
+    from mantaflow_tpu.scene.vortex_api import (VortexSheetMesh,
+                                                meshSmokeInflow,
+                                                texcoordInflow)
+    res = 24
+    s = Solver(name="vs", gridSize=vec3(res, res, res))
+    s.timestep = 1.0
+    phi = Sphere(s, center=vec3(12, 12, 12), radius=6).computeLevelset()
+    mesh = s.create(VortexSheetMesh)
+    phi.createMesh(mesh)
+    mesh._sync()
+
+    # circulation -> vorticity -> circulation is a projection fixpoint:
+    # going back and forth again reproduces the same vorticity
+    rng = np.random.RandomState(3)
+    mesh.tri_vorticity = rng.randn(mesh.numTris(), 3).astype(np.float32)
+    mesh.calcCirculation()
+    mesh.calcVorticity()
+    w1 = mesh.tri_vorticity.copy()
+    mesh.calcCirculation()
+    mesh.calcVorticity()
+    assert np.abs(mesh.tri_vorticity - w1).max() < 5e-3
+    assert np.isfinite(mesh.tri_circulation).all()
+
+    # texcoords: start at pos+0, inflow shifts them against the mean flow
+    mesh.reinitTexCoords()
+    assert np.allclose(mesh.tex1, mesh.nodes)
+    vel = s.create(MACGrid)
+    vel.setConst(vec3(1.0, 0, 0))
+    src = Sphere(s, center=vec3(12, 12, 12), radius=20)  # covers all nodes
+    texcoordInflow(mesh, src, vel)
+    d = mesh.tex1 - mesh.nodes
+    assert np.allclose(d[:, 0], -1.0, atol=1e-4)  # offset -dt*meanV
+    assert np.allclose(mesh.tex2, mesh.tex1)
+
+    # smoke stamped on faces inside the source only
+    half = Sphere(s, center=vec3(12, 12, 18), radius=6)
+    meshSmokeInflow(mesh, half, amount=2.0)
+    assert mesh.tri_smoke.max() == 2.0
+    assert (mesh.tri_smoke == 0).any()
