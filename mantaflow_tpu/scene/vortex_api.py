@@ -210,15 +210,18 @@ class VortexSheetMesh(Mesh):
 
     def calcCirculation(self):
         """Least-squares per-tri edge coefficients for the stored vorticity
-        (vortexsheet.cpp:61, SolveOverconstraint34 equivalent): minimize
-        |c0*e0 + c1*e1 + c2*e2 - w|, circulation = c * area."""
+        (vortexsheet.cpp:61). The reference's generated SolveOverconstraint34
+        (util/solvana.h) solves [e1 e2 e3; 1 1 1] c = [w; 0] — the extra row
+        biases toward sum(c)=0; here that is the rank-one +1 block in the
+        normal equations, batched over triangles. circulation = c * area."""
         self._sync()
         e = self._edges()  # (nt, 3 coeffs, 3 dims)
         _, area = self.faceNormalsAreas()
         w = self.tri_vorticity
-        # normal equations E E^T c = E w with E rows = edge vectors;
+        # normal equations (E E^T + 1) c = E w with E rows = edge vectors;
         # Tikhonov scaled to the gram trace keeps sliver tris solvable
         g = np.einsum("tcd,tkd->tck", e, e).astype(np.float64)
+        g += np.ones((3, 3))[None]  # the "1 1 1" constraint row, target 0
         tr = np.trace(g, axis1=1, axis2=2)
         g += (1e-6 * tr + 1e-12)[:, None, None] * np.eye(3)[None]
         rhs = np.einsum("tcd,td->tc", e, w).astype(np.float64)
