@@ -184,6 +184,37 @@ def read_grid_raw(filename: str, shape, dtype=np.float32, channels=1):
     return data.reshape(tuple(shape))
 
 
+_VOL_HDR = struct.Struct("<3sb5i6f")  # ID, version, encoding, dims, chans, bbox
+
+
+def write_grid_vol(filename: str, data):
+    """writeGridVol<Real> (fileio/iogrids.cpp:552): Mitsuba .vol — 48-byte
+    header (VOL v3, encoding 1 = float32, unit bbox) + raw float payload in
+    x-fastest order."""
+    arr = np.asarray(data, np.float32)
+    if arr.ndim != 3:
+        raise ValueError(".vol: only single-channel Real grids supported "
+                         "(reference iogrids.cpp:528 likewise)")
+    sz, sy, sx = arr.shape
+    with open(filename, "wb") as f:
+        f.write(_VOL_HDR.pack(b"VOL", 3, 1, sx, sy, sz, 1,
+                              -0.5, -0.5, -0.5, 0.5, 0.5, 0.5))
+        f.write(arr.tobytes())
+
+
+def read_grid_vol(filename: str):
+    """readGridVol<Real> (fileio/iogrids.cpp:598)."""
+    with open(filename, "rb") as f:
+        hdr = f.read(_VOL_HDR.size)
+        ident, ver, enc, sx, sy, sz, ch, *_ = _VOL_HDR.unpack(hdr)
+        if ident != b"VOL":
+            raise ValueError(f".vol: bad magic {ident!r}")
+        if enc != 1 or ch != 1:
+            raise ValueError(".vol: only float32 single-channel supported")
+        payload = np.frombuffer(f.read(4 * sx * sy * sz), np.float32)
+    return payload.reshape(sz, sy, sx)
+
+
 def write_grid_txt(filename: str, data):
     arr = np.asarray(data)
     with open(filename, "w") as f:

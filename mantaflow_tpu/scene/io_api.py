@@ -35,6 +35,8 @@ def _grid_save(self: GridBase, name: str):
         np.savez_compressed(name, data=np.asarray(self.data))
     elif name.endswith(".txt"):
         uio.write_grid_txt(name, np.asarray(self.data))
+    elif name.endswith(".vol"):
+        uio.write_grid_vol(name, np.asarray(self.data))
     else:
         raise ValueError(f"save: unknown extension for {name}")
 
@@ -48,6 +50,8 @@ def _grid_load(self: GridBase, name: str):
                                  np.asarray(self.data).dtype, ch)
     elif name.endswith(".npz"):
         data = np.load(name)["data"]
+    elif name.endswith(".vol"):
+        data = uio.read_grid_vol(name)
     else:
         raise ValueError(f"load: unknown extension for {name}")
     self.from_numpy(np.asarray(data))

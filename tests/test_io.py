@@ -135,3 +135,31 @@ def test_ppm_projection(tmp_path):
     with open(fn, "rb") as f:
         assert f.read(2) == b"P6"
     assert os.path.getsize(fn) > res * res * 3
+
+
+def test_vol_roundtrip(tmp_path):
+    """Mitsuba .vol write/read (iogrids.cpp:552/:598 layout): 48-byte VOL v3
+    header, float32 payload."""
+    import struct
+    res = 12
+    s = Solver(name="v", gridSize=vec3(res, res, res))
+    g = s.create(RealGrid)
+    rng = np.random.RandomState(7)
+    g.from_numpy(rng.rand(res, res, res).astype(np.float32))
+    p = str(tmp_path / "d.vol")
+    g.save(p)
+
+    raw = open(p, "rb").read()
+    ident, ver, enc, sx, sy, sz, ch = struct.unpack_from("<3sb5i", raw, 0)
+    assert (ident, ver, enc, ch) == (b"VOL", 3, 1, 1)
+    assert (sx, sy, sz) == (res, res, res)
+    assert len(raw) == 48 + 4 * res ** 3
+
+    g2 = s.create(RealGrid)
+    g2.load(p)
+    assert np.array_equal(g2.to_numpy(), g.to_numpy())
+
+    import pytest
+    v = s.create(MACGrid)
+    with pytest.raises(ValueError):
+        v.save(str(tmp_path / "v.vol"))  # only Real grids, like reference
