@@ -26,6 +26,35 @@ def _grid_type_of(grid: GridBase) -> int:
     return uio.TypeReal
 
 
+def _require_vdb():
+    """OpenVDB is optional, like the reference's OPENVDB=1 build gate
+    (fileio/ioutil.cpp); without pyopenvdb the .vdb paths raise."""
+    try:
+        import pyopenvdb
+        return pyopenvdb
+    except ImportError as e:
+        raise NotImplementedError(
+            ".vdb IO needs the optional pyopenvdb module (reference gates "
+            "this on the OPENVDB=1 build flag the same way); use .uni/.vol "
+            "instead") from e
+
+
+def _write_vdb(name: str, arr):
+    vdb = _require_vdb()
+    grid = vdb.FloatGrid()
+    grid.copyFromArray(np.ascontiguousarray(arr.transpose(2, 1, 0)))
+    grid.name = "density"
+    vdb.write(name, grids=[grid])
+
+
+def _read_vdb(name: str, shape):
+    vdb = _require_vdb()
+    grid = vdb.readAllGridMetadata(name) and vdb.read(name, "density")
+    out = np.zeros(shape[::-1], np.float32)
+    grid.copyToArray(out)
+    return out.transpose(2, 1, 0)
+
+
 def _grid_save(self: GridBase, name: str):
     if name.endswith(".uni"):
         uio.write_grid_uni(name, np.asarray(self.data), _grid_type_of(self))
@@ -37,6 +66,8 @@ def _grid_save(self: GridBase, name: str):
         uio.write_grid_txt(name, np.asarray(self.data))
     elif name.endswith(".vol"):
         uio.write_grid_vol(name, np.asarray(self.data))
+    elif name.endswith(".vdb"):
+        _write_vdb(name, np.asarray(self.data))
     else:
         raise ValueError(f"save: unknown extension for {name}")
 
@@ -52,6 +83,8 @@ def _grid_load(self: GridBase, name: str):
         data = np.load(name)["data"]
     elif name.endswith(".vol"):
         data = uio.read_grid_vol(name)
+    elif name.endswith(".vdb"):
+        data = _read_vdb(name, self.dom.shape)
     else:
         raise ValueError(f"load: unknown extension for {name}")
     self.from_numpy(np.asarray(data))

@@ -163,3 +163,23 @@ def test_vol_roundtrip(tmp_path):
     v = s.create(MACGrid)
     with pytest.raises(ValueError):
         v.save(str(tmp_path / "v.vol"))  # only Real grids, like reference
+
+
+def test_vdb_gated(tmp_path):
+    """.vdb is gated on optional pyopenvdb (reference OPENVDB=1 gate): raises
+    a clear NotImplementedError when absent, round-trips when present."""
+    import pytest
+    res = 8
+    s = Solver(name="v", gridSize=vec3(res, res, res))
+    g = s.create(RealGrid)
+    g.setConst(1.0)
+    p = str(tmp_path / "d.vdb")
+    try:
+        import pyopenvdb  # noqa: F401
+        g.save(p)
+        g2 = s.create(RealGrid)
+        g2.load(p)
+        assert np.allclose(g2.to_numpy(), 1.0)
+    except ImportError:
+        with pytest.raises(NotImplementedError, match="pyopenvdb"):
+            g.save(p)
