@@ -11,6 +11,85 @@ from ..io import uni as uio
 from .api import FlagGrid, LevelsetGrid, MACGrid, RealGrid, Solver, mantaMsg
 
 
+class MdataBase:
+    """Per-node mesh data channel (mesh.h:310 MeshDataImpl<T>), sized to the
+    parent mesh's node count and re-synced lazily after topology changes."""
+
+    width = 1
+    dtype = np.float32
+
+    def __init__(self, parent: "Mesh"):
+        self.parent = parent
+        self._alloc(parent.numNodes())
+
+    def _alloc(self, n):
+        shape = (n,) if self.width == 1 else (n, self.width)
+        self.data = np.zeros(shape, self.dtype)
+
+    def _sync(self):
+        if self.data.shape[0] != self.parent.numNodes():
+            old = self.data
+            self._alloc(self.parent.numNodes())
+            n = min(old.shape[0], self.data.shape[0])
+            self.data[:n] = old[:n]
+
+    def size(self):
+        self._sync()
+        return self.data.shape[0]
+
+    def setConst(self, v):
+        self._sync()
+        self.data[...] = v
+
+    def copyFrom(self, other):
+        self.data = np.array(other.data)
+
+    def multConst(self, v):
+        self._sync()
+        self.data = self.data * v
+
+    def add(self, other):
+        self._sync()
+        self.data = self.data + other.data
+
+    def clamp(self, vmin, vmax):
+        self._sync()
+        self.data = np.clip(self.data, vmin, vmax)
+
+    def getMaxAbs(self):
+        self._sync()
+        if self.data.ndim == 2:
+            return float(np.sqrt((self.data ** 2).sum(axis=-1).max()))
+        return float(np.abs(self.data).max())
+
+    def setSource(self, grid, isMAC: bool = False):
+        """MeshDataImpl::setSource (mesh.cpp:1110): grid sampled at node
+        positions to initialize values for newly created nodes."""
+        self._source = grid
+        self._source_is_mac = isMAC
+
+    def save(self, name: str):
+        self._sync()
+        uio.write_pdata_uni(name, self.data, self.parent.dom.size)
+
+    def load(self, name: str):
+        data, _ = uio.read_pdata_uni(name)
+        self.data = np.asarray(data, self.dtype).reshape(
+            -1, *self.data.shape[1:])
+
+
+class MdataReal(MdataBase):
+    pass
+
+
+class MdataInt(MdataBase):
+    dtype = np.int32
+
+
+class MdataVec3(MdataBase):
+    width = 3
+
+
 class Mesh:
     """Triangle mesh (nodes/tris); node data channels as numpy arrays."""
 
@@ -19,6 +98,13 @@ class Mesh:
         self.name = name
         self.nodes = np.zeros((0, 3), np.float32)
         self.tris = np.zeros((0, 3), np.int32)
+        self._mdata = []
+
+    def create(self, cls, **kw):
+        """Mesh.create(MdataReal/...) (mesh.cpp:78)."""
+        md = cls(self)
+        self._mdata.append(md)
+        return md
 
     @property
     def dom(self):

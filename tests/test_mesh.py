@@ -111,3 +111,37 @@ def test_edge_collapse():
     e = mesh.nodes[mesh.tris]
     lens = np.linalg.norm(e[:, 0] - e[:, 1], axis=1)
     assert lens.max() < 2.0
+
+
+def test_mesh_data_channels(tmp_path):
+    """MeshDataImpl equivalent: per-node channels track topology and save."""
+    from mantaflow_tpu.scene.mesh_api import MdataReal, MdataVec3, MdataInt
+    res = 24
+    s = Solver(name="m", gridSize=vec3(res, res, res))
+    phi = Sphere(s, center=vec3(12, 12, 12), radius=5).computeLevelset()
+    mesh = s.create(Mesh)
+    phi.createMesh(mesh)
+
+    md = mesh.create(MdataReal)
+    mv = mesh.create(MdataVec3)
+    mi = mesh.create(MdataInt)
+    assert md.size() == mesh.numNodes()
+    md.setConst(2.5)
+    mv.setConst(1.0)
+    mi.setConst(3)
+    md.multConst(2.0)
+    assert md.getMaxAbs() == 5.0
+    assert abs(mv.getMaxAbs() - np.sqrt(3.0)) < 1e-6
+
+    # channels re-sync after topology changes
+    n0 = mesh.numNodes()
+    subdivideMesh(mesh, maxLength=0.8)
+    assert mesh.numNodes() > n0
+    assert md.size() == mesh.numNodes()
+    assert md.data[:n0].max() == 5.0  # old values kept
+
+    p = str(tmp_path / "md.uni")
+    md.save(p)
+    md2 = mesh.create(MdataReal)
+    md2.load(p)
+    assert np.array_equal(md2.data, md.data)
