@@ -36,6 +36,62 @@ from ..utils.noise import WaveletNoiseField
 # module constants mirroring registry.cpp:395-420 + defines.py:25-60
 
 GUI = False
+
+
+class Gui:
+    """Headless stand-in for the Qt GUI (gui/qtmain.cpp, SURVEY §2.9): the
+    reference guards GUI use behind `if (GUI):`, which is False here, but
+    scenes that construct one unconditionally still run — interaction calls
+    are no-ops and screenshot() renders a grid slice to PPM instead of a
+    framebuffer grab."""
+
+    def __init__(self):
+        self._grids = []
+
+    def show(self, twoD: bool = False):
+        mantaMsg("Gui: headless build, rendering via projectPpmFull/"
+                 "screenshot(grid=...)", 2)
+
+    def pause(self):
+        pass
+
+    def update(self):
+        pass
+
+    def setCamPos(self, x, y, z):
+        pass
+
+    def setCamRot(self, x, y, z):
+        pass
+
+    def windowSize(self, w, h):
+        pass
+
+    def nextRealGrid(self):
+        pass
+
+    def nextVec3Grid(self):
+        pass
+
+    def nextParts(self):
+        pass
+
+    def nextPdata(self):
+        pass
+
+    def nextMesh(self):
+        pass
+
+    def toggleHideGrids(self):
+        pass
+
+    def screenshot(self, filename: str, grid=None, scale: float = 1.0):
+        if grid is None:
+            mantaMsg("Gui.screenshot: no framebuffer in the headless build; "
+                     "pass grid=<RealGrid> to render a slice", 1)
+            return
+        from .io_api import projectPpmFull
+        projectPpmFull(grid, filename, 0, scale)
 CUDA = False
 TPU = True
 DOUBLEPRECISION = False

@@ -112,3 +112,26 @@ def test_cubic_advection_and_grid4d():
     assert g4.data.shape == (3, 8, 8, 8)
     g4.setConst(2.0)
     assert g4.getMaxAbs() == 2.0
+
+
+def test_headless_gui():
+    """Gui is a headless stand-in: interaction no-ops, screenshot renders a
+    grid slice to PPM when given one."""
+    import os
+    from mantaflow_tpu import Gui
+    s = Solver(name="g", gridSize=vec3(12, 12, 1), dim=2)
+    d = s.create(RealGrid)
+    d.setConst(0.5)
+    gui = Gui()
+    gui.show()
+    gui.pause()
+    gui.update()
+    gui.nextRealGrid()
+    p = "/tmp/_gui_test_shot.ppm"
+    if os.path.exists(p):
+        os.remove(p)
+    gui.screenshot(p)  # no grid: warns, writes nothing
+    assert not os.path.exists(p)
+    gui.screenshot(p, grid=d)
+    assert os.path.exists(p)
+    os.remove(p)
