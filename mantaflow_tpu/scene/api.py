@@ -498,7 +498,13 @@ class NoiseField:
 
     # mantaflow-style attribute spelling
     posScale = property(lambda s: vec3(*s._n.pos_scale))
+    posOffset = property(lambda s: vec3(*s._n.pos_offset))
     valScale = property(lambda s: s._n.val_scale)
+    valOffset = property(lambda s: s._n.val_offset)
+    clamp = property(lambda s: s._n.clamp)
+    clampNeg = property(lambda s: s._n.clamp_neg)
+    clampPos = property(lambda s: s._n.clamp_pos)
+    timeAnim = property(lambda s: s._n.time_anim)
 
     def __setattr__(self, name, value):
         mapping = {
