@@ -276,6 +276,14 @@ def solve_pressure_system(rhs, flags, dom: Domain, stencil,
 
     if max_iter is None:
         max_iter = int(cg_max_iter_fac * max(dom.size)) * (1 if dom.is3d else 4)
+        if preconditioner == PcMIC and x_init is None:
+            # the caller sized the budget assuming mIC(0)-preconditioned CG
+            # (reference default); plain CG needs ~4x the iterations for the
+            # same accuracy contract, and iterations are cheap on TPU.
+            # Without this, free-surface solves stop at large residuals and
+            # the ghost-fluid 1/theta correction amplifies them into
+            # velocity blowups (observed on the freesurface scene).
+            max_iter *= 4
 
     if precond_apply is None:
         precond_apply = lambda r: r
