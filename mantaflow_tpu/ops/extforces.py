@@ -122,6 +122,49 @@ def set_wall_bcs(flags, vel, dom: Domain, obvel=None):
     return out
 
 
+def set_wall_bcs_frac(flags, vel, dom: Domain, phi_obs, obvel=None):
+    """KnSetWallBcsFrac (extforces.cpp:240-325): second-order obstacle BCs.
+    At faces touching an obstacle cell, project the full face velocity onto
+    the obstacle surface (remove the phiObs-normal component) instead of
+    zeroing the axis component — free slip along curved boundaries. Cells
+    that are neither fluid nor obstacle keep their velocity unchanged."""
+    fluid = fl.is_fluid(flags)
+    obs = fl.is_obstacle(flags)
+    cur = fluid | obs
+    inter = interior_mask(dom, 1)
+
+    axes = ["x", "y", "z"]
+    others = {"x": ("y", "z"), "y": ("x", "z"), "z": ("x", "y")}
+    n_comp = 3 if dom.is3d else 2
+    at_mac = [macops.at_mac_x, macops.at_mac_y, macops.at_mac_z]
+    comps = [vel[0], vel[1], vel[2]]
+    for c in range(n_comp):
+        ax = axes[c]
+        cond = cur & inter & (obs | shift(obs, -1, ax))
+        p_lo = shift(phi_obs, -1, ax)
+        tmp1 = 0.5 * (phi_obs + p_lo)
+
+        dphi = [jnp.zeros(dom.shape, jnp.float32) for _ in range(3)]
+        dphi[c] = phi_obs - p_lo
+        for b_ax in others[ax]:
+            if b_ax == "z" and not dom.is3d:
+                continue
+            b = {"x": 0, "y": 1, "z": 2}[b_ax]
+            tmp2p = 0.5 * (shift(phi_obs, 1, b_ax) + shift(p_lo, 1, b_ax))
+            tmp2m = 0.5 * (shift(phi_obs, -1, b_ax) + shift(p_lo, -1, b_ax))
+            dphi[b] = 0.5 * (tmp1 + tmp2p) - 0.5 * (tmp1 + tmp2m)
+
+        norm = jnp.sqrt(dphi[0] ** 2 + dphi[1] ** 2 + dphi[2] ** 2)
+        inv = jnp.where(norm > 1e-12, 1.0 / jnp.maximum(norm, 1e-12), 0.0)
+        nx, ny, nz = dphi[0] * inv, dphi[1] * inv, dphi[2] * inv
+
+        vm = at_mac[c](vel)
+        ndotv = nx * vm[0] + ny * vm[1] + nz * vm[2]
+        proj = vm[c] - ndotv * (nx, ny, nz)[c]
+        comps[c] = jnp.where(cond, proj, comps[c])
+    return jnp.stack(comps)
+
+
 def set_initial_velocity(flags, vel, invel, dom: Domain):
     """setInitialVelocity / KnAddForceIfLower: add face-averaged force but
     never past it (extforces.cpp:379-406)."""

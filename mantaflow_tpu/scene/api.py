@@ -706,8 +706,14 @@ def solvePressure(vel: MACGrid, pressure: RealGrid, flags: FlagGrid,
 
 def setWallBcs(flags: FlagGrid, vel: MACGrid, obvel=None, fractions=None,
                phiObs=None, boundaryWidth: int = 0):
+    """setWallBcs (extforces.cpp:327-335): plain axis-aligned kernel, or the
+    second-order fraction variant when both fractions and phiObs are given."""
     ob = obvel.data if obvel is not None else None
-    vel.data = ext.set_wall_bcs(flags.data, vel.data, flags.dom, ob)
+    if fractions is not None and phiObs is not None:
+        vel.data = ext.set_wall_bcs_frac(flags.data, vel.data, flags.dom,
+                                         phiObs.data, ob)
+    else:
+        vel.data = ext.set_wall_bcs(flags.data, vel.data, flags.dom, ob)
 
 
 def addGravity(flags: FlagGrid, vel: MACGrid, gravity, exclude=None,
