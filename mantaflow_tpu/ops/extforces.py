@@ -204,8 +204,12 @@ def vorticity_confinement(vel, flags, dom: Domain, strength: float = 0.0,
                           strength_cell=None):
     """vorticityConfinement (extforces.cpp:412-428): centered curl, gradient
     of |curl|, force = str * (grad x curl) applied as a cell-centered field."""
-    cc = macops.get_centered(vel)
-    curl = macops.curl_centered(cc)
+    # GetCentered/CurlOp are bnd=1 kernels: their boundary ring is never
+    # written and stays zero; the ring values feed the |curl| gradient two
+    # cells in, so zero them here to match
+    ring = interior_mask(dom, 1)[None]
+    cc = jnp.where(ring, macops.get_centered(vel), 0.0)
+    curl = jnp.where(ring, macops.curl_centered(cc), 0.0)
     norm = jnp.sqrt(curl[0] ** 2 + curl[1] ** 2 + curl[2] ** 2)
 
     def ddx(a, axis):

@@ -155,9 +155,13 @@ def compute_energy(flags, vel, dom: Domain):
 
 
 def compute_vorticity(vel, dom: Domain):
-    """computeVorticity: centered curl + norm. Returns (curl(3,...), norm)."""
-    cc = macops.get_centered(vel)
-    curl = macops.curl_centered(cc)
+    """computeVorticity: centered curl + norm. Returns (curl(3,...), norm).
+    GetCentered/CurlOp are bnd=1 kernels in the reference — their boundary
+    ring stays zero — so mask the ring here the same way."""
+    from ..core.masks import interior_mask
+    ring = interior_mask(dom, 1)[None]
+    cc = jnp.where(ring, macops.get_centered(vel), 0.0)
+    curl = jnp.where(ring, macops.curl_centered(cc), 0.0)
     norm = jnp.sqrt(curl[0] ** 2 + curl[1] ** 2 + curl[2] ** 2)
     return curl, norm
 
