@@ -125,20 +125,22 @@ def read_particles_uni(filename: str):
 
 
 def write_pdata_uni(filename: str, data, grid_size):
-    """PD01 pdata block: per-particle real/int/vec3 channel."""
+    """PD01 pdata block: per-particle real/int/vec3 channel. The reference
+    writes elementType=1 for ALL pdata (ioparticles.cpp:238) — the payload
+    type is distinguished only by bytesPerElement and the loading target."""
     arr = np.asarray(data)
     n = arr.shape[0]
     if arr.dtype.kind == "i":
-        etype, bpe = 0, 4
+        bpe = 4
         arr = arr.astype(np.int32)
     elif arr.ndim == 1:
-        etype, bpe = 1, 4
+        bpe = 4
         arr = arr.astype(np.float32)
     else:
-        etype, bpe = 2, 12
+        bpe = 12
         arr = arr.astype(np.float32)
     header = struct.pack(_PART_HEADER_FMT, n, grid_size[0], grid_size[1],
-                         grid_size[2], etype, bpe, _INFO.ljust(256, b"\0"),
+                         grid_size[2], 1, bpe, _INFO.ljust(256, b"\0"),
                          int(time.time()))
     with gzip.open(filename, "wb", compresslevel=1) as f:
         f.write(b"PD01")
@@ -146,7 +148,11 @@ def write_pdata_uni(filename: str, data, grid_size):
         f.write(np.ascontiguousarray(arr).tobytes())
 
 
-def read_pdata_uni(filename: str):
+def read_pdata_uni(filename: str, dtype=None):
+    """Read a PD01 channel. `dtype` (np.int32/np.float32) disambiguates
+    4-byte payloads — like the reference, where the target pdata object's
+    type decides (ioparticles.cpp:292); defaults to float32. Files written
+    by older revisions of this writer (elementType 0=int/2=vec3) still load."""
     with gzip.open(filename, "rb") as f:
         magic = f.read(4)
         if magic != b"PD01":
@@ -156,9 +162,14 @@ def read_pdata_uni(filename: str):
                 "bytesPerElement", "info", "timestamp")
         h = dict(zip(keys, vals))
         raw = f.read()
-    dt = np.int32 if h["elementType"] == 0 else np.float32
+    if h["elementType"] == 0:
+        dt = np.int32
+    elif h["bytesPerElement"] == 4 and dtype is not None:
+        dt = dtype
+    else:
+        dt = np.float32
     data = np.frombuffer(raw, dtype=dt)
-    if h["elementType"] == 2:
+    if h["bytesPerElement"] == 12:
         data = data.reshape(h["dim"], 3)
     return data.copy(), h
 

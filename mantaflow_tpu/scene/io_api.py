@@ -141,7 +141,9 @@ def _install_particle_io():
 
     def _pdata_load(self, name: str):
         if name.endswith(".uni"):
-            data, _ = uio.read_pdata_uni(name)
+            import numpy as _np
+            want = _np.int32 if self.data.dtype.kind == "i" else _np.float32
+            data, _ = uio.read_pdata_uni(name, dtype=want)
         elif name.endswith(".npz"):
             data = np.load(name)["data"]
         else:

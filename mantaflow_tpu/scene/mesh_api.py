@@ -73,7 +73,7 @@ class MdataBase:
         uio.write_pdata_uni(name, self.data, self.parent.dom.size)
 
     def load(self, name: str):
-        data, _ = uio.read_pdata_uni(name)
+        data, _ = uio.read_pdata_uni(name, dtype=self.dtype)
         self.data = np.asarray(data, self.dtype).reshape(
             -1, *self.data.shape[1:])
 
