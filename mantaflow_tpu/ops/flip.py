@@ -352,12 +352,7 @@ def averaged_particle_levelset(parts: Particles, flags, dom: Domain,
     phi = jnp.where(have.reshape(dom.shape), dist, radius)
 
     factor = 1.0 / (1.0 + 2.0 * dom.dim)
-    for _ in range(smoothen):
-        phi = _smooth_grid(phi, dom, factor)
-    for _ in range(smoothen_neg):
-        phi = _smooth_grid_neg(phi, dom, factor)
-    inter = interior_mask(dom, 1)
-    return jnp.where(inter, phi, 0.5)
+    return _smooth_postprocess(phi, dom, smoothen, smoothen_neg, factor)
 
 
 def improved_particle_levelset(parts: Particles, flags, dom: Domain,
@@ -434,12 +429,7 @@ def improved_particle_levelset(parts: Particles, flags, dom: Domain,
     phi = jnp.where(have, corrected, radius)
 
     factor = 1.0 / (7.0 if dom.is3d else 5.0)
-    for i in range(max(smoothen, smoothen_neg)):
-        if i < smoothen:
-            phi = _smooth_grid(phi, dom, factor)
-        if i < smoothen_neg:
-            phi = _smooth_grid_neg(phi, dom, factor)
-    return jnp.where(interior_mask(dom, 1), phi, 0.5)
+    return _smooth_postprocess(phi, dom, smoothen, smoothen_neg, factor)
 
 
 def _neighbor_sum(a, dom: Domain):
@@ -462,6 +452,27 @@ def _smooth_grid_neg(phi, dom: Domain, factor: float):
     val = _neighbor_sum(phi, dom) * factor
     out = jnp.where(val < phi, val, phi)
     return jnp.where(interior_mask(dom, 1), out, phi)
+
+
+def _smooth_postprocess(phi, dom: Domain, smoothen: int, smoothen_neg: int,
+                        factor: float):
+    """The particle-levelset smoothing loop exactly as the reference runs it
+    (flip.cpp:487-498): per iteration a FRESH zero tmp buffer; knSmoothGrid
+    writes only the interior of tmp then swaps (phi's ring becomes 0, tmp
+    holds the pre-smooth phi); knSmoothGridNeg then compares its smoothed
+    value against tmp's CURRENT content (the pre-smooth phi after a smooth
+    pass, zeros otherwise) and swaps again (ring restored from tmp).
+    Followed by setBound(0.5, 0)."""
+    inter = interior_mask(dom, 1)
+    for i in range(max(smoothen, smoothen_neg)):
+        tmp = jnp.zeros_like(phi)
+        if i < smoothen:
+            val = _neighbor_sum(phi, dom) * factor
+            phi, tmp = jnp.where(inter, val, tmp), phi
+        if i < smoothen_neg:
+            val = _neighbor_sum(phi, dom) * factor
+            phi = jnp.where(inter, jnp.where(val < tmp, val, phi), tmp)
+    return jnp.where(inter, phi, 0.5)
 
 
 # ---------------------------------------------------------------------------
