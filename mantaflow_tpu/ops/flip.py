@@ -362,9 +362,10 @@ def improved_particle_levelset(parts: Particles, flags, dom: Domain,
                                exclude: int = 0):
     """improvedParticleLevelset (flip.cpp:503-581, Solenthaler'07): averaged
     particle levelset with a deformation-aware radius correction from the
-    largest eigenvalue of the jacobian of averaged positions. Deviation: the
-    eigenvalue is taken from the symmetrized jacobian (eigh is TPU-native;
-    the reference solves the general cubic)."""
+    largest eigenvalue of the jacobian of averaged positions, using the
+    reference's Cardano cubic solver verbatim (matrixbase.h:184 — including
+    its quirk of reporting 0 for the complex pair when only one real root
+    exists, which biases maxEV toward >= 0)."""
     import jax
     radius = 0.5 * _radius_factor(dom, radius_factor)
     # recompute averaged weights, keeping pAcc (averaged positions)
@@ -413,8 +414,7 @@ def improved_particle_levelset(parts: Particles, flags, dom: Domain,
         d1(pavg[row], axes[colu]) if (dom.is3d or colu < 2)
         else jnp.zeros(dom.shape) for colu in range(3)], axis=-1)
         for row in range(3)], axis=-2)  # (..., 3, 3)
-    jac_sym = 0.5 * (jac + jnp.swapaxes(jac, -1, -2))
-    max_ev = jnp.linalg.eigvalsh(jac_sym)[..., -1]
+    max_ev = _max_eigenvalue_3x3(jac)
 
     t = (t_high - max_ev) / (t_high - t_low)
     corr = jnp.where(max_ev >= t_low, t ** 3 - 3 * t ** 2 + 3 * t, 1.0)
@@ -430,6 +430,44 @@ def improved_particle_levelset(parts: Particles, flags, dom: Domain,
 
     factor = 1.0 / (7.0 if dom.is3d else 5.0)
     return _smooth_postprocess(phi, dom, smoothen, smoothen_neg, factor)
+
+
+def _max_eigenvalue_3x3(jac):
+    """Matrix3x3::eigenvalues (util/matrixbase.h:184) via Cardano, batched
+    over trailing (...,3,3). Replicates the reference exactly: when the
+    characteristic cubic has one real root (h>0), the complex pair is
+    reported as 0, so the returned maximum is max(real_root, 0)."""
+    v = jac.astype(jnp.float32)
+    v00, v01, v02 = v[..., 0, 0], v[..., 0, 1], v[..., 0, 2]
+    v10, v11, v12 = v[..., 1, 0], v[..., 1, 1], v[..., 1, 2]
+    v20, v21, v22 = v[..., 2, 0], v[..., 2, 1], v[..., 2, 2]
+    b = -v00 - v11 - v22
+    c = v00 * (v11 + v22) + v11 * v22 - v12 * v21 - v01 * v10 - v02 * v20
+    d = (-v00 * (v11 * v22 - v12 * v21) - v20 * (v01 * v12 - v11 * v02)
+         - v10 * (v02 * v21 - v22 * v01))
+    f = (3.0 * c - b * b) / 3.0
+    g = (2.0 * b ** 3 - 9.0 * b * c + 27.0 * d) / 27.0
+    h = g * g / 4.0 + f ** 3 / 27.0
+
+    # h > 0: one real root (cbrt handles negative operands)
+    sqrt_h = jnp.sqrt(jnp.maximum(h, 0.0))
+    e_single = (jnp.cbrt(-g / 2.0 + sqrt_h) + jnp.cbrt(-g / 2.0 - sqrt_h)
+                - b / 3.0)
+    max_pos = jnp.maximum(e_single, 0.0)  # complex pair reported as 0
+
+    # h <= 0: three real roots (trigonometric form)
+    i_ = jnp.sqrt(jnp.maximum(g * g / 4.0 - h, 1e-30))
+    j_ = jnp.cbrt(i_)
+    k_ = jnp.arccos(jnp.clip(-g / (2.0 * i_), -1.0, 1.0))
+    m_ = jnp.cos(k_ / 3.0)
+    n_ = jnp.sqrt(3.0) * jnp.sin(k_ / 3.0)
+    p_ = -b / 3.0
+    e0 = 2.0 * j_ * m_ + p_
+    e1 = -j_ * (m_ + n_) + p_
+    e2 = -j_ * (m_ - n_) + p_
+    max_tri = jnp.maximum(e0, jnp.maximum(e1, e2))
+
+    return jnp.where(h > 0.0, max_pos, max_tri)
 
 
 def _neighbor_sum(a, dom: Domain):
