@@ -70,3 +70,42 @@ def test_golden_advection():
     for _ in range(4):
         advectSemiLagrange(flags=flags, vel=vel, grid=d, order=2)
     assert do_test_grid("advect_maccormack", d, 1e-3)
+
+
+def test_golden_karman():
+    """Fraction-BC obstacle flow (karman recipe): locks in the
+    KnSetWallBcsFrac free-slip projection, fraction stencils and inflow
+    walls, all verified 1.5e-6 against the reference binary."""
+    resx, resy = 48, 24
+    s = Solver(name="g", gridSize=vec3(resx, resy, 1), dim=2)
+    s.timestep = 0.5
+    flags = s.create(FlagGrid)
+    vel = s.create(MACGrid)
+    density = s.create(RealGrid)
+    pressure = s.create(RealGrid)
+    fractions = s.create(MACGrid)
+    phiWalls = s.create(LevelsetGrid)
+    flags.initDomain(inflow="xX", phiWalls=phiWalls, boundaryWidth=0)
+    obs = Cylinder(s, center=vec3(12, 12, 0.5), radius=3, z=vec3(0, 0, 1))
+    phiObs = obs.computeLevelset()
+    phiObs.join(phiWalls)
+    updateFractions(flags=flags, phiObs=phiObs, fractions=fractions)
+    setObstacleFlags(flags=flags, phiObs=phiObs, fractions=fractions)
+    flags.fillGrid()
+    vin = vec3(0.9, 0, 0)
+    vel.setConst(vin)
+    dens_src = Cylinder(s, center=vec3(12, 12, 0.5), radius=3.2,
+                        z=vec3(0, 0, 1))
+    for t in range(6):
+        dens_src.applyToGrid(grid=density, value=2.0)
+        advectSemiLagrange(flags=flags, vel=vel, grid=density, order=2,
+                           orderSpace=1)
+        advectSemiLagrange(flags=flags, vel=vel, grid=vel, order=2)
+        extrapolateMACSimple(flags=flags, vel=vel, distance=2, intoObs=True)
+        setWallBcs(flags=flags, vel=vel, fractions=fractions, phiObs=phiObs)
+        setInflowBcs(vel=vel, dir="xX", value=vin)
+        solvePressure(flags=flags, vel=vel, pressure=pressure,
+                      fractions=fractions, cgAccuracy=1e-4, cgMaxIterFac=5)
+        setInflowBcs(vel=vel, dir="xX", value=vin)
+    assert do_test_grid("karman_dens", density, 1e-3)
+    assert do_test_grid("karman_vel", vel, 1e-3)
