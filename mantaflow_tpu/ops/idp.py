@@ -10,12 +10,12 @@ Correct19 method (scenes/zflip.py:51-95): solve A lambda = density-error,
 displace particle positions by grad(lambda).
 
 Deviations, by design:
-- the reference's 27-neighbor boundary-density compensation classifies
-  face/edge/vertex neighbors with expressions that mix the loop variable n
-  with the cell index k (implicitdensityprojection.cpp:127-129, an apparent
-  typo making weights depend on absolute z); we classify by (l, m, n);
 - overfull-cell resampling assigns jittered subcell slots by per-cell rank
   instead of std::shuffle (deterministic, parallel).
+The reference's 27-neighbor boundary-density compensation mixes the loop
+variable n with the cell index k (implicitdensityprojection.cpp:127-129, an
+apparent typo making weights depend on absolute z); replicated verbatim for
+numerical parity (validated against the reference binary).
 """
 
 from __future__ import annotations
@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from ..core import flags as fl
 from ..core.domain import Domain
 from ..core.interp import _axis_weights, interpol, interpol_mac
-from ..core.masks import interior_mask, shift
+from ..core.masks import interior_mask, shift, axis_index
 from ..core.particles import Particles
 from .flip import _cell_of, _corner_arrays
 
@@ -127,20 +127,28 @@ def map_mass_to_grid(parts: Particles, flags, phi_obs, dom: Domain, dt,
 
     if dom.is3d:
         # boundary compensation: pretend obstacle/empty neighbors carry a
-        # uniform particle sampling (classified by l,m,n — see module doc)
+        # uniform particle sampling. The reference's face/edge/vertex
+        # classification (implicitdensityprojection.cpp:127-132) tests the
+        # CELL index k where the offset n was clearly meant; on interior
+        # cells (k != 0) it degenerates to: multiplier 4 when l==0 and m==0,
+        # else 2. Preserved verbatim for parity.
         ncoef = [0.25, 0.75, 0.25]
         obs_or_empty = fl.is_obstacle(flags_tmp) | fl.is_empty(flags_tmp)
         comp = jnp.zeros_like(rho)
+        kzero = axis_index(dom, "z") == 0
         for l in (-1, 0, 1):
             for m in (-1, 0, 1):
                 for nn in (-1, 0, 1):
                     if l == 0 and m == 0 and nn == 0:
                         continue
-                    zeros = (l == 0) + (m == 0) + (nn == 0)
-                    mult = 4.0 if zeros == 2 else (2.0 if zeros == 1 else 1.0)
+                    # k != 0: face iff l==0&&m==0 (x4), else edge (x2)
+                    m_int = 4.0 if (l == 0 and m == 0) else 2.0
+                    # k == 0 plane: face iff l==0||m==0, edge iff both != 0
+                    m_k0 = 4.0 if (l == 0 or m == 0) else 2.0
                     wgt = ncoef[l + 1] * ncoef[m + 1] * ncoef[nn + 1]
                     nb = shift(shift(shift(obs_or_empty, l, "x"), m, "y"),
                                nn, "z")
+                    mult = jnp.where(kzero, m_k0, m_int)
                     comp = comp + jnp.where(nb, wgt * particle_mass * mult,
                                             0.0)
         rho = rho - comp
@@ -150,7 +158,44 @@ def map_mass_to_grid(parts: Particles, flags, phi_obs, dom: Domain, dt,
     for ax in (["x", "y", "z"] if dom.is3d else ["x", "y"]):
         for dd in (1, -1):
             is_surf = is_surf | shift(fl.is_empty(flags_tmp), dd, ax)
-    demote = fluid & is_surf & (rho > 0.0)
+
+    if dom.is3d:
+        # the reference kernel demotes cells to empty DURING its raster
+        # sweep, and the boundary compensation reads the live flag grid —
+        # so a cell sees neighbors at lexicographically earlier (n,m,l)
+        # offsets as empty if they were just demoted. Replay that with a
+        # short fixpoint over the raster-order DAG: recompute the extra
+        # compensation from earlier-demoted ex-fluid neighbors until the
+        # demotion set stabilizes (converges in a few rounds; dependencies
+        # only point forward in raster order).
+        was_fluid = fl.is_fluid(flags_tmp)
+        demote = fluid & is_surf & (rho > 0.0)
+        kzero = axis_index(dom, "z") == 0
+        ncoef = [0.25, 0.75, 0.25]
+        for _ in range(3):
+            extra = jnp.zeros_like(rho)
+            for l in (-1, 0, 1):
+                for m in (-1, 0, 1):
+                    for nn in (-1, 0, 1):
+                        if l == 0 and m == 0 and nn == 0:
+                            continue
+                        before = (nn < 0 or (nn == 0 and (m < 0 or
+                                  (m == 0 and l < 0))))
+                        if not before:
+                            continue
+                        m_int = 4.0 if (l == 0 and m == 0) else 2.0
+                        m_k0 = 4.0 if (l == 0 or m == 0) else 2.0
+                        wgt = ncoef[l + 1] * ncoef[m + 1] * ncoef[nn + 1]
+                        nb = shift(shift(shift(demote & was_fluid, l, "x"),
+                                         m, "y"), nn, "z")
+                        mult = jnp.where(kzero, m_k0, m_int)
+                        extra = extra + jnp.where(nb, wgt * particle_mass
+                                                  * mult, 0.0)
+            demote = fluid & is_surf & ((rho - extra) > 0.0)
+        rho = rho - extra
+    else:
+        demote = fluid & is_surf & (rho > 0.0)
+
     new_flags = jnp.where(demote, fl.TypeEmpty, new_flags)
     rho = jnp.where(demote, 0.0, rho)
     fluid = fl.is_fluid(new_flags)
