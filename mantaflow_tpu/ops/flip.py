@@ -107,10 +107,13 @@ def map_parts_to_mac(parts: Particles, pvel, flags, dom: Domain, ptype=None,
         weights.append(wsum.reshape(dom.shape))
     weight = jnp.stack(weights)
     vel_acc = jnp.stack(vels)
-    # stomp tiny weights to zero, then safe divide (flip.cpp:653-655)
-    weight_st = jnp.where(weight <= VECTOR_EPSILON, 0.0, weight)
+    # stomp tiny weights to zero, then safe divide (flip.cpp:653-655).
+    # The STOMPED weight grid is what the caller receives — downstream
+    # extrapolateMACFromWeight treats weight>0 as "initialized", so
+    # returning raw sub-epsilon weights would mark noise faces initialized.
+    weight_st = jnp.where(weight < VECTOR_EPSILON, 0.0, weight)
     vel = jnp.where(weight_st > 0, vel_acc / jnp.maximum(weight_st, 1e-30), 0.0)
-    return vel, weight
+    return vel, weight_st
 
 
 def map_parts_to_grid(parts: Particles, psource, flags, dom: Domain):
