@@ -30,11 +30,13 @@ def main():
     n_steps = int(os.environ.get("BENCH_STEPS", "10"))
 
     dom = Domain(size=(res, res, res), dim=3)
-    # the packed-row gather path is now the fastest AND exact (no CFL
-    # window); adaptive dt kept for physical parity with plume_adaptDt.py
+    # Pallas window advection (ops/advection_pallas.py): semi-Lagrangian
+    # taps as fused VMEM kernels, window k = CFL bound; adaptive dt matches
+    # the reference benchmark config (plume_adaptDt.py, CFL=3)
     params = smoke.SmokeParams(buoyancy=(0.0, -6e-4, 0.0),
                                vorticity_confinement=0.1,
                                cg_accuracy=1e-3,
+                               window=3, use_pallas=True,
                                adaptive_dt=True, cfl=3.0, dt_max=2.0)
     src = Sphere(center=(res / 2.0, res * 0.1, res / 2.0), radius=res * 0.14)
     state = smoke.make_smoke_state(dom, params, source_shape=src)
@@ -63,10 +65,17 @@ def main():
                              "BASELINE_CPU.json")
     if os.path.exists(base_path):
         with open(base_path) as f:
-            baseline = json.load(f).get("smoke128_steps_per_sec", 0.0)
+            rec = json.load(f)
+        # honest comparison point: the multicore-extrapolated reference
+        # (this host exposes one CPU core; a 16-core box at ~70% OpenMP
+        # scaling reaches ~11x single core — see BASELINE_CPU.json notes).
+        baseline = rec.get("smoke128_steps_per_sec_multicore_est", 0.0)
+        if not baseline:
+            baseline = rec.get("smoke128_steps_per_sec", 0.0) * 11.0
 
     print(json.dumps({
-        "metric": f"smoke sim steps/sec @ {res}^3 (MacCormack+vconf+CG 1e-3)",
+        "metric": f"smoke sim steps/sec @ {res}^3 (MacCormack+vconf+CG 1e-3)"
+                  " vs 16-core-CPU reference estimate",
         "value": round(steps_per_sec, 4),
         "unit": "steps/sec",
         "vs_baseline": round(steps_per_sec / baseline, 3) if baseline else 0.0,

@@ -98,9 +98,14 @@ def _sample_cells(cell_mask: np.ndarray, dom: Domain, discretization: int,
         ks[:, None] + dz.reshape(1, -1),
     ], axis=-1).reshape(ncell * nsub, 3)
     if randomness > 0:
-        jlen = randomness / d
-        rng = np.random.RandomState(seed)
-        base += jlen * (1.0 - 2.0 * rng.random_sample(base.shape))
+        # exact reference jitter: RandomStream(9832).getVec3() per subsample
+        # in FOR_IJK(k,j,i) x (dk,dj,di) order (flip.cpp:44-48)
+        from ..utils.mtrand import RandomStream
+        jlen = np.float32(randomness / d)
+        stream = RandomStream(seed)
+        base = base.astype(np.float32)
+        base += jlen * (np.float32(1.0) - np.float32(2.0)
+                        * stream.get_vec3s(base.shape[0]))
     if not is3d:
         base[:, 2] = 0.5
     return base.astype(np.float32)
@@ -116,26 +121,39 @@ def sample_flags_with_particles(flags_np: np.ndarray, dom: Domain,
     return make_particles(pts, capacity)
 
 
+def sample_levelset_positions(phi_np: np.ndarray, flags_np: np.ndarray,
+                              dom: Domain, discretization: int,
+                              randomness: float,
+                              refill_empty: bool = False) -> np.ndarray:
+    """sampleLevelsetWithParticles positions (flip.cpp:61-105): seed cells
+    with phi<1.733, then reject subsamples with interpolated phi > 0.
+    refill_empty skips cells currently flagged fluid (flip.cpp:80-81)."""
+    mask = (phi_np < 1.733) & ((flags_np & fl.TypeObstacle) == 0)
+    if refill_empty:
+        mask &= (flags_np & fl.TypeFluid) == 0
+    pts = _sample_cells(mask, dom, discretization, randomness)
+    phiv = np.asarray(interpol(jnp.asarray(phi_np), pts[:, 0], pts[:, 1],
+                               pts[:, 2]))
+    return pts[phiv <= 0.0]
+
+
 def sample_levelset_with_particles(phi_np: np.ndarray, flags_np: np.ndarray,
                                    dom: Domain, discretization: int,
                                    randomness: float,
                                    capacity: int | None = None) -> Particles:
-    """sampleLevelsetWithParticles (flip.cpp:61-105): seed cells with
-    phi<1.733, then reject subsamples with interpolated phi > 0."""
-    mask = (phi_np < 1.733) & ((flags_np & fl.TypeObstacle) == 0)
-    pts = _sample_cells(mask, dom, discretization, randomness)
-    phiv = np.asarray(interpol(jnp.asarray(phi_np), pts[:, 0], pts[:, 1],
-                               pts[:, 2]))
-    pts = pts[phiv <= 0.0]
+    pts = sample_levelset_positions(phi_np, flags_np, dom, discretization,
+                                    randomness)
     return make_particles(pts, capacity)
 
 
-def sample_shape_with_particles(shape, flags_np: np.ndarray, dom: Domain,
-                                discretization: int, randomness: float,
-                                capacity: int | None = None,
-                                exclude_phi: np.ndarray | None = None) -> Particles:
-    """sampleShapeWithParticles (flip.cpp:109-160)."""
+def sample_shape_positions(shape, flags_np: np.ndarray, dom: Domain,
+                           discretization: int, randomness: float,
+                           exclude_phi: np.ndarray | None = None,
+                           refill_empty: bool = False) -> np.ndarray:
+    """sampleShapeWithParticles positions (flip.cpp:109-160)."""
     mask = (flags_np & fl.TypeObstacle) == 0
+    if refill_empty:
+        mask &= (flags_np & fl.TypeFluid) == 0
     pts = _sample_cells(mask, dom, discretization, randomness)
     inside = np.asarray(shape.is_inside(jnp.asarray(pts[:, 0]),
                                         jnp.asarray(pts[:, 1]),
@@ -145,7 +163,16 @@ def sample_shape_with_particles(shape, flags_np: np.ndarray, dom: Domain,
         ev = np.asarray(interpol(jnp.asarray(exclude_phi), pts[:, 0],
                                  pts[:, 1], pts[:, 2]))
         keep &= ev > 0.0
-    return make_particles(pts[keep], capacity)
+    return pts[keep]
+
+
+def sample_shape_with_particles(shape, flags_np: np.ndarray, dom: Domain,
+                                discretization: int, randomness: float,
+                                capacity: int | None = None,
+                                exclude_phi: np.ndarray | None = None) -> Particles:
+    pts = sample_shape_positions(shape, flags_np, dom, discretization,
+                                 randomness, exclude_phi=exclude_phi)
+    return make_particles(pts, capacity)
 
 
 # ---------------------------------------------------------------------------

@@ -42,6 +42,9 @@ class SmokeParams:
     # window > 0 selects the fast shift-select advection path
     # (ops/advection_fast.py); must be >= max CFL of the run
     window: int = 0
+    # with window > 0 on a 3D domain, run the window passes as Pallas TPU
+    # kernels (ops/advection_pallas.py; interpret-mode off-TPU)
+    use_pallas: bool = False
     dissolve_speed: int = 0  # 0: off
     adaptive_dt: bool = False
     cfl: float = 3.0
@@ -101,7 +104,16 @@ def smoke_step(state: SmokeState, dom: Domain, params: SmokeParams) -> SmokeStat
     # emission: applyToGrid(value=1) inside the source region
     density = jnp.where(state.source > 0.0, state.source, density)
 
-    if params.window > 0:
+    if params.window > 0 and params.use_pallas and dom.is3d:
+        from ..ops import advection_pallas as advp
+        density = advp.advect_real_pl(flags, vel, density, dt, dom,
+                                      params.window,
+                                      order=params.advection_order)
+        vel = advp.advect_mac_pl(flags, vel, vel, dt, dom, params.window,
+                                 order=params.advection_order,
+                                 strength=params.mac_strength,
+                                 has_outflow=bool(params.open_bound))
+    elif params.window > 0:
         from ..ops import advection_fast as advf
         density = advf.advect_real_fast(flags, vel, density, dt, dom,
                                         params.window,

@@ -43,6 +43,9 @@ def _rel_weights(pos, coord, n: int, k: int):
     p_abs = jnp.clip(coord + rel, 0.0, n - 1)  # border clamp
     rel = p_abs - coord
     base = jnp.floor(rel).astype(jnp.int32)
+    # cap the base so corner+1 stays in range (exact-path BUILD_INDEX
+    # clamps i0 to [0, n-2]; frac saturates to 1 at the top border)
+    base = jnp.minimum(base, (n - 2 - coord).astype(jnp.int32))
     frac = rel - base.astype(rel.dtype)
     return base, frac
 
@@ -60,7 +63,7 @@ def window_interp(src, pos_x, pos_y, pos_z, dom: Domain, k: int,
     ny, fy = _rel_weights(pos_y, cy, sy, k)
     if dom.is3d:
         nz, fz = _rel_weights(pos_z, cz, sz, k)
-        z_offsets = range(-k - 1, k + 1)
+        z_offsets = range(-k, k + 2)
     else:
         nz = jnp.zeros(dom.shape, jnp.int32)
         fz = jnp.zeros(dom.shape, jnp.float32)
@@ -84,7 +87,7 @@ def window_interp(src, pos_x, pos_y, pos_z, dom: Domain, k: int,
             sel_z = True
             rz = src
             okz = ok_mask
-        for oy in range(-k - 1, k + 1):
+        for oy in range(-k, k + 2):
             wy = jnp.where(ny == oy, 1.0 - fy,
                            jnp.where(ny == oy - 1, fy, 0.0))
             sel_y = (ny == oy) | (ny == oy - 1)
@@ -92,7 +95,7 @@ def window_interp(src, pos_x, pos_y, pos_z, dom: Domain, k: int,
             oky = shift(okz, oy, "y") if okz is not None else None
             # x-inner: value select + (optional) corner min/max
             acc_x = jnp.zeros(dom.shape, jnp.float32)
-            for ox in range(-k - 1, k + 1):
+            for ox in range(-k, k + 2):
                 wx = jnp.where(nx == ox, 1.0 - fx,
                                jnp.where(nx == ox - 1, fx, 0.0))
                 rx = shift(ry, ox, "x")

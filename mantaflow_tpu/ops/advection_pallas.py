@@ -1,0 +1,350 @@
+"""Pallas TPU kernel for bounded-window semi-Lagrangian interpolation.
+
+Same semantics as ops/advection_fast.py's ``window_interp`` (the CFL-bounded
+shift-select recast of the reference SemiLagrange/SemiLagrangeMAC gathers,
+``plugin/advection.cpp:25-77``), but executed as one fused VMEM-resident
+kernel per pass instead of ~(2k+2)^3 XLA roll/select passes over HBM:
+
+- the grid is tiled into z-slabs; each program DMAs its slab (plus a k+1
+  halo in z) from HBM into VMEM once;
+- z-offsets are static slices of the slab, y/x offsets are in-register
+  ``pltpu.roll``s (wrapped lanes are masked by the window-selection weights,
+  which are zero whenever an offset is not the backtraced corner);
+- per-axis corner weights are computed once per slab and reused across the
+  (2k+2)^2 (oz,oy) loop, so the inner body is two FMAs per tap;
+- the MacCormack clamp's corner min/max (doClampComponent mode 2,
+  advection.cpp:242-270) falls out of the same loop for free.
+
+The kernel expects 3D grids; 2D domains stay on ops/advection_fast.py (they
+are small enough that the XLA path is fine). On non-TPU backends the kernel
+runs in interpreter mode so tests exercise identical code paths.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.domain import Domain
+
+_BIG = 3.4e38
+
+
+def _is_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _rel_base_frac(pos, coord, n: int, k: int):
+    """Window-clamped relative corner base + fraction for one axis
+    (mirrors advection_fast._rel_weights; positions already -0.5 shifted
+    by the caller for the cell-centered convention)."""
+    rel = jnp.clip(pos - coord, -float(k), float(k))
+    p_abs = jnp.clip(coord + rel, 0.0, float(n - 1))
+    rel = p_abs - coord
+    base = jnp.floor(rel).astype(jnp.int32)
+    # cap the base so corner+1 stays in range (exact-path BUILD_INDEX
+    # clamps i0 to [0, n-2]; frac saturates to 1 at the top border)
+    base = jnp.minimum(base, (float(n - 2) - coord).astype(jnp.int32))
+    frac = rel - base.astype(rel.dtype)
+    return base, frac
+
+
+def _window_kernel(*refs, k: int, bz: int, shape, want_minmax: bool,
+                   with_ok: bool):
+    px_ref, py_ref, pz_ref, okm_ref, src_hbm, ok_hbm = refs[:6]
+    del okm_ref
+    if want_minmax:
+        out_ref, minv_ref, maxv_ref, have_ref = refs[6:10]
+        slab, okslab, sem, oksem = refs[10:14]
+    else:
+        out_ref = refs[6]
+        slab, okslab, sem, oksem = refs[7:11]
+    sz, sy, sx = shape
+    halo = k + 1
+    nsl = bz + 2 * halo
+
+    z0 = pl.program_id(0) * bz
+    cp = pltpu.make_async_copy(src_hbm.at[pl.ds(z0, nsl)], slab, sem)
+    cp.start()
+    if with_ok:
+        cpo = pltpu.make_async_copy(ok_hbm.at[pl.ds(z0, nsl)], okslab, oksem)
+        cpo.start()
+
+    cx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, sx), 2).astype(jnp.float32)
+    cy = jax.lax.broadcasted_iota(jnp.int32, (1, sy, 1), 1).astype(jnp.float32)
+    cz = (jax.lax.broadcasted_iota(jnp.int32, (bz, 1, 1), 0)
+          .astype(jnp.float32) + jnp.float32(z0))
+
+    nx, fx = _rel_base_frac(px_ref[:] - 0.5, cx, sx, k)
+    ny, fy = _rel_base_frac(py_ref[:] - 0.5, cy, sy, k)
+    nz, fz = _rel_base_frac(pz_ref[:] - 0.5, cz, sz, k)
+
+    # corner bases span [-k, k] (floor of the clamped displacement; the
+    # border cap only raises the minimum), and the +1 corner of base=k needs
+    # tap k+1 — so the tap window is [-k, k+1], not [-k-1, k].
+    offs = list(range(-k, k + 2))
+    noff = len(offs)
+    # x-axis weights/sel: precomputed (reused noff^2 times; inner loop is
+    # static). z/y weights are recomputed per (oz,oy) inside the fori_loop —
+    # cheap, and the rolled loop keeps Mosaic register pressure flat (a full
+    # unroll of the (2k+2)^3 taps spills hundreds of MB of vregs).
+    wxs = [jnp.where(nx == ox, 1.0 - fx, jnp.where(nx == ox - 1, fx, 0.0))
+           for ox in offs]
+    if want_minmax:
+        # not-selected penalty per x-offset: corner selection is folded into
+        # arithmetic (value + BIG excludes a tap from min; -BIG from max),
+        # which is ~2x cheaper on the VPU than boolean select chains.
+        nxs = [jnp.where((nx == ox) | (nx == ox - 1), 0.0, _BIG)
+               for ox in offs]
+
+    cp.wait()
+    if with_ok:
+        cpo.wait()
+
+    acc0 = jnp.zeros((bz, sy, sx), jnp.float32)
+    minv0 = jnp.full((bz, sy, sx), _BIG, jnp.float32)
+    maxv0 = jnp.full((bz, sy, sx), -_BIG, jnp.float32)
+    # have is carried as f32 (Mosaic cannot legalize scf.for i1-vector
+    # carries): it tracks min-penalty, 0 <=> some corner was selected
+    have0 = jnp.full((bz, sy, sx), _BIG, jnp.float32)
+
+    def body(o, carry):
+        if want_minmax:
+            acc, minv, maxv, have = carry
+        else:
+            acc = carry
+            minv = maxv = have = None
+        izi = o // noff
+        iyi = o % noff
+        oz = izi - k                # offset value (traced)
+        oy = iyi - k
+        zsl = slab[pl.ds(izi + 1, bz)]  # slab index = oz + halo
+        yshift = (sy - iyi + k) % sy    # (-oy) mod sy, non-negative
+        ysl = pltpu.roll(zsl, yshift, 1)
+        ozf = oz.astype(jnp.float32)
+        oyf = oy.astype(jnp.float32)
+        nzf = nz.astype(jnp.float32)
+        nyf = ny.astype(jnp.float32)
+        wz = jnp.where(nzf == ozf, 1.0 - fz,
+                       jnp.where(nzf == ozf - 1.0, fz, 0.0))
+        wy = jnp.where(nyf == oyf, 1.0 - fy,
+                       jnp.where(nyf == oyf - 1.0, fy, 0.0))
+        wzy = wz * wy
+        if want_minmax:
+            not_zy = jnp.where(
+                ((nzf == ozf) | (nzf == ozf - 1.0))
+                & ((nyf == oyf) | (nyf == oyf - 1.0)), 0.0, _BIG)
+            if with_ok:
+                okysl = pltpu.roll(okslab[pl.ds(izi + 1, bz)], yshift, 1)
+        for ix, ox in enumerate(offs):
+            xsl = pltpu.roll(ysl, (-ox) % sx, 2)
+            acc = acc + (wzy * wxs[ix]) * xsl
+            if want_minmax:
+                nots = not_zy + nxs[ix]
+                if with_ok:
+                    # non-ok corners excluded from min/max and from `have`
+                    nots = nots + (1.0 - pltpu.roll(okysl, (-ox) % sx, 2)) \
+                        * _BIG
+                minv = jnp.minimum(minv, xsl + nots)
+                maxv = jnp.maximum(maxv, xsl - nots)
+                if with_ok:
+                    # have <- any ok tap selected: track min of penalties
+                    have = jnp.minimum(have, nots)
+        return (acc, minv, maxv, have) if want_minmax else acc
+
+    if want_minmax:
+        acc, minv, maxv, have = jax.lax.fori_loop(
+            0, noff * noff, body, (acc0, minv0, maxv0, have0))
+        minv_ref[:] = minv
+        maxv_ref[:] = maxv
+        # without an ok mask every cell always selects its 8 corners
+        have_ref[:] = jnp.where(have < _BIG * 0.5, 1.0, 0.0) \
+            if with_ok else jnp.ones((bz, sy, sx), jnp.float32)
+    else:
+        acc = jax.lax.fori_loop(0, noff * noff, body, acc0)
+    out_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("k", "want_minmax", "bz",
+                                             "interpret"))
+def _window_pass_call(src, px, py, pz, ok_mask, k: int,
+                      want_minmax: bool, bz: int, interpret: bool):
+    sz, sy, sx = src.shape
+    halo = k + 1
+    nblk = -(-sz // bz)
+    zp = nblk * bz
+    # pad z: halo below, halo + block remainder above
+    src_p = jnp.pad(src, ((halo, halo + (zp - sz)), (0, 0), (0, 0)),
+                    mode="edge")
+    with_ok = ok_mask is not None
+    if with_ok:
+        ok_p = jnp.pad(ok_mask.astype(jnp.float32),
+                       ((halo, halo + (zp - sz)), (0, 0), (0, 0)))
+    else:
+        ok_p = jnp.zeros((1, sy, sx), jnp.float32)  # dummy
+
+    def padz(a):
+        if zp == sz:
+            return a
+        return jnp.pad(a, ((0, zp - sz), (0, 0), (0, 0)))
+
+    pxp, pyp, pzp = padz(px), padz(py), padz(pz)
+    okm = padz(ok_mask.astype(jnp.float32)) if with_ok else pxp  # unused
+
+    blk = pl.BlockSpec((bz, sy, sx), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    out_shapes = [jax.ShapeDtypeStruct((zp, sy, sx), jnp.float32)]
+    out_specs = [blk]
+    if want_minmax:
+        out_shapes += [jax.ShapeDtypeStruct((zp, sy, sx), jnp.float32)] * 3
+        out_specs += [blk] * 3
+
+    nsl = bz + 2 * halo
+    scratch = [pltpu.VMEM((nsl, sy, sx), jnp.float32),
+               pltpu.VMEM((nsl, sy, sx), jnp.float32)
+               if with_ok else pltpu.SMEM((1,), jnp.float32),
+               pltpu.SemaphoreType.DMA(()),
+               pltpu.SemaphoreType.DMA(())]
+
+    kern = functools.partial(_window_kernel, k=k, bz=bz,
+                             shape=(sz, sy, sx), want_minmax=want_minmax,
+                             with_ok=with_ok)
+    outs = pl.pallas_call(
+        kern,
+        grid=(nblk,),
+        in_specs=[blk, blk, blk, blk, hbm, hbm],
+        out_specs=tuple(out_specs) if want_minmax else out_specs[0],
+        out_shape=tuple(out_shapes) if want_minmax else out_shapes[0],
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(pxp, pyp, pzp, okm, src_p, ok_p)
+
+    if not want_minmax:
+        outs = (outs,)
+    outs = tuple(o[:sz] for o in outs)
+    if want_minmax:
+        out, minv, maxv, have = outs
+        return out, minv, maxv, have > 0.5
+    return outs[0]
+
+
+def window_pass(src, px, py, pz, dom: Domain, k: int, ok_mask=None,
+                want_minmax: bool = False, bz: int = 8):
+    """Drop-in Pallas counterpart of advection_fast.window_interp (3D)."""
+    interpret = not _is_tpu()
+    return _window_pass_call(src, px, py, pz, ok_mask, k, want_minmax,
+                             min(bz, dom.shape[0]), interpret)
+
+
+# ---------------------------------------------------------------------------
+# drivers (mirror ops/advection_fast.py, Pallas window_pass per pass)
+
+def _face_positions(vel, dt, dom: Domain, c: int):
+    from ..core import mac as macops
+    from .advection import _cell_centers
+    getters = [macops.at_mac_x, macops.at_mac_y, macops.at_mac_z]
+    xx, yy, zz = _cell_centers(dom)
+    vface = getters[c](vel)
+    return (xx - vface[0] * dt, yy - vface[1] * dt, zz - vface[2] * dt,
+            xx + vface[0] * dt, yy + vface[1] * dt, zz + vface[2] * dt)
+
+
+def advect_real_pl(flags, vel, grid, dt, dom: Domain, k: int,
+                   order: int = 2, strength: float = 1.0):
+    """Order-1/2 scalar advection (clampMode=2) via the Pallas window kernel.
+    Semantics identical to advection_fast.advect_real_fast."""
+    from ..core import flags as fl
+    from ..core.masks import interior_mask
+    from .advection import _cell_centers, _maccormack_correct
+    from ..core import mac as macops
+
+    inter = interior_mask(dom, 1)
+    xx, yy, zz = _cell_centers(dom)
+    c = macops.get_centered(vel)
+    px, py, pz = xx - c[0] * dt, yy - c[1] * dt, zz - c[2] * dt
+    ok = (flags & (fl.TypeFluid | fl.TypeEmpty)) != 0
+    if order == 1:
+        fwd = window_pass(grid, px, py, pz, dom, k)
+        return jnp.where(inter, fwd, 0.0)
+    fwd, minv, maxv, have = window_pass(grid, px, py, pz, dom, k,
+                                        ok_mask=ok, want_minmax=True)
+    fwd = jnp.where(inter, fwd, 0.0)
+    bx, by, bz_ = xx + c[0] * dt, yy + c[1] * dt, zz + c[2] * dt
+    bwd = window_pass(fwd, bx, by, bz_, dom, k)
+    bwd = jnp.where(inter, bwd, 0.0)
+    new = _maccormack_correct(flags, grid, fwd, bwd, strength)
+    out_of = (new < minv) | (new > maxv) | ~have
+    clamped = jnp.where(out_of, fwd, new)
+    return jnp.where(inter, clamped, new)
+
+
+def advect_mac_pl(flags, vel, grid, dt, dom: Domain, k: int,
+                  order: int = 2, strength: float = 1.0,
+                  has_outflow: bool = True):
+    """Order-1/2 MAC self-advection (clampMode=2) via the Pallas kernel.
+    Semantics identical to advection_fast.advect_mac_fast; has_outflow=False
+    statically skips the convective outflow extrapolation (a ~15-pass XLA
+    stencil) for domains with no outflow cells."""
+    from ..core import flags as fl
+    from ..core.masks import interior_mask, shift
+    from .advection import (_maccormack_correct_mac, _axis_coord,
+                            apply_outflow_bc)
+
+    inter = interior_mask(dom, 1)
+    n_comp = 3 if dom.is3d else 2
+    fpos = [_face_positions(vel, dt, dom, c) for c in range(n_comp)]
+
+    def fwd_pass(src, want_minmax):
+        comps, mms = [], []
+        for c in range(n_comp):
+            px, py, pz = fpos[c][:3]
+            if want_minmax:
+                v, mn, mx, _ = window_pass(src[c], px, py, pz, dom, k,
+                                           want_minmax=True)
+                mms.append((mn, mx))
+            else:
+                v = window_pass(src[c], px, py, pz, dom, k)
+            comps.append(v)
+        if not dom.is3d:
+            comps.append(jnp.zeros_like(comps[0]))
+        dst = jnp.stack(comps)
+        return jnp.where(inter[None], dst, 0.0), mms
+
+    if order == 1:
+        fwd, _ = fwd_pass(grid, False)
+        return apply_outflow_bc(flags, fwd, grid, dt, dom) \
+            if has_outflow else fwd
+    fwd, mms = fwd_pass(grid, True)
+    bwd_comps = []
+    for c in range(n_comp):
+        bx, by, bz_ = fpos[c][3:]
+        bwd_comps.append(window_pass(fwd[c], bx, by, bz_, dom, k))
+    if not dom.is3d:
+        bwd_comps.append(jnp.zeros_like(bwd_comps[0]))
+    bwd = jnp.where(inter[None], jnp.stack(bwd_comps), 0.0)
+    new = _maccormack_correct_mac(flags, grid, fwd, bwd, strength, dom)
+    ok_flag = (flags & (fl.TypeFluid | fl.TypeEmpty)) != 0
+    axes = ["x", "y", "z"]
+    comps = [new[c] for c in range(3)]
+    for c in range(n_comp):
+        mn, mx = mms[c]
+        out_of = (new[c] < mn) | (new[c] > mx)
+        val = jnp.where(out_of, fwd[c], new[c])
+        nb_ok = shift(ok_flag, -1, axes[c])
+        edge = _axis_coord(dom, axes[c]) == 0
+        front = ok_flag & (nb_ok | edge)
+        val = jnp.where(front, val, fwd[c])
+        comps[c] = jnp.where(inter, val, new[c])
+    out = jnp.stack(comps)
+    return apply_outflow_bc(flags, out, grid, dt, dom) \
+        if has_outflow else out

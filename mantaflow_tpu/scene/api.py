@@ -194,11 +194,19 @@ def setDebugLevel(level: int):
 # ---------------------------------------------------------------------------
 # grids
 
+def _resolve_parent(solver, parent):
+    """The reference's generated constructors accept the owning solver as a
+    `parent` kwarg on every PbClass (pwrapper/pclass.h:44); mirror that."""
+    return solver if solver is not None else parent
+
+
 class GridBase:
     dtype = jnp.float32
     channels = 0  # 0: scalar [z,y,x]; 3: (3,z,y,x)
 
-    def __init__(self, solver: "Solver", name: str = ""):
+    def __init__(self, solver: "Solver" = None, name: str = "",
+                 parent: "Solver" = None):
+        solver = _resolve_parent(solver, parent)
         self.solver = solver
         self.name = name
         dom = solver.domain
@@ -330,7 +338,8 @@ class MACGrid(Vec3Grid):
 
 
 class LevelsetGrid(RealGrid):
-    def __init__(self, solver, name: str = ""):
+    def __init__(self, solver=None, name: str = "", parent=None):
+        solver = _resolve_parent(solver, parent)
         super().__init__(solver, name)
         self.data = jnp.full(solver.domain.shape,
                              self.invalidTimeValue(), dtype=self.dtype)
@@ -429,8 +438,8 @@ def _wall_sdf(dom: Domain, bwidth: int, wall: str):
 class _SceneShape:
     core_cls = None
 
-    def __init__(self, solver: "Solver", **kw):
-        self.solver = solver
+    def __init__(self, solver: "Solver" = None, **kw):
+        self.solver = _resolve_parent(solver, kw.pop("parent", None))
         self.shape = self._make(**kw)
 
     def _make(self, **kw):
@@ -488,8 +497,9 @@ class NullShape(_SceneShape):
 class NoiseField:
     """Scene wrapper for WaveletNoiseField with mantaflow attribute names."""
 
-    def __init__(self, solver: "Solver", fixedSeed: int = -1,
-                 loadFromFile: bool = False):
+    def __init__(self, solver: "Solver" = None, fixedSeed: int = -1,
+                 loadFromFile: bool = False, parent: "Solver" = None):
+        solver = _resolve_parent(solver, parent)
         self.solver = solver
         self._n = WaveletNoiseField(solver.domain, fixedSeed, loadFromFile)
 
@@ -891,8 +901,10 @@ class Grid4Base:
     dtype = jnp.float32
     channels = 0
 
-    def __init__(self, solver: "Solver", name: str = ""):
+    def __init__(self, solver: "Solver" = None, name: str = "",
+                 parent: "Solver" = None):
         from ..core import grid4d as g4
+        solver = _resolve_parent(solver, parent)
         self.solver = solver
         self.name = name
         st = max(solver.fourthDim, 1)

@@ -93,7 +93,9 @@ class MdataVec3(MdataBase):
 class Mesh:
     """Triangle mesh (nodes/tris); node data channels as numpy arrays."""
 
-    def __init__(self, solver: Solver, name: str = ""):
+    def __init__(self, solver: Solver = None, name: str = "",
+                 parent: Solver = None):
+        solver = solver if solver is not None else parent
         self.solver = solver
         self.name = name
         self.nodes = np.zeros((0, 3), np.float32)

@@ -91,7 +91,9 @@ class BasicParticleSystem:
 
     DEFAULT_CAPACITY = 1 << 16
 
-    def __init__(self, solver: Solver, name: str = ""):
+    def __init__(self, solver: Solver = None, name: str = "",
+                 parent: Solver = None):
+        solver = solver if solver is not None else parent
         self.solver = solver
         self.name = name
         self._capacity = self.DEFAULT_CAPACITY
@@ -210,8 +212,8 @@ class ParticleIndexSystem:
     """API-compatible stub: the TPU design needs no sorted cell-index list
     (neighbor searches are bounded-window scatters, see ops/flip.py)."""
 
-    def __init__(self, solver: Solver, name: str = ""):
-        self.solver = solver
+    def __init__(self, solver: Solver = None, name: str = "", parent=None):
+        self.solver = solver if solver is not None else parent
 
     def size(self):
         return 0
@@ -220,11 +222,39 @@ class ParticleIndexSystem:
 # ---------------------------------------------------------------------------
 # free functions (plugin surface)
 
+def _insert_sampled(parts: BasicParticleSystem, pts: np.ndarray,
+                    reset: bool, pflag: int = 0):
+    """insertBufferedParticles semantics (particle.cpp): new particles
+    append after the current logical size; existing entries (including
+    flagged-deleted ones) keep their indices. reset clears first
+    (parts.clear() + doCompress, flip.cpp:70-73)."""
+    if reset or int(parts.parts.count) == 0:
+        parts._replace(cp.make_particles(pts, pflag=pflag))
+        if reset:
+            for pd in parts._pdata:
+                pd.data = jnp.zeros_like(pd.data)
+        return
+    old = parts.parts
+    n_old = int(old.count)
+    m = pts.shape[0]
+    pos = np.asarray(old.pos[:n_old])
+    flg = np.asarray(old.flags[:n_old])
+    new = cp.make_particles(np.concatenate([pos, pts.astype(np.float32)]),
+                            pflag=pflag)
+    # restore the old entries' flags (make_particles set them all to pflag)
+    nf = np.asarray(new.flags).copy()
+    nf[:n_old] = flg
+    import dataclasses
+    new = dataclasses.replace(new, flags=jnp.asarray(nf))
+    parts._replace(new)
+
+
 def sampleFlagsWithParticles(flags: FlagGrid, parts: BasicParticleSystem,
                              discretization: int, randomness: float):
-    p = cp.sample_flags_with_particles(np.asarray(flags.data), flags.dom,
-                                       discretization, randomness)
-    parts._replace(p)
+    mask = ((np.asarray(flags.data) & cp.fl.TypeFluid) != 0) \
+        & ((np.asarray(flags.data) & cp.fl.TypeObstacle) == 0)
+    pts = cp._sample_cells(mask, flags.dom, discretization, randomness)
+    _insert_sampled(parts, pts, reset=False)
 
 
 def sampleLevelsetWithParticles(phi: LevelsetGrid, flags: FlagGrid,
@@ -232,29 +262,23 @@ def sampleLevelsetWithParticles(phi: LevelsetGrid, flags: FlagGrid,
                                 discretization: int, randomness: float,
                                 reset: bool = False, refillEmpty: bool = False,
                                 particleFlag: int = -1):
-    if refillEmpty:
-        raise NotImplementedError("refillEmpty: use adjustNumber-based "
-                                  "reseeding instead")
-    p = cp.sample_levelset_with_particles(
+    pts = cp.sample_levelset_positions(
         np.asarray(phi.data), np.asarray(flags.data), flags.dom,
-        discretization, randomness)
-    if particleFlag >= 0:
-        import dataclasses
-        live = p.active_mask()
-        p = dataclasses.replace(
-            p, flags=jnp.where(live, jnp.int32(particleFlag), p.flags))
-    parts._replace(p)
+        discretization, randomness, refill_empty=refillEmpty)
+    _insert_sampled(parts, pts, reset=reset,
+                    pflag=particleFlag if particleFlag >= 0 else 0)
 
 
 def sampleShapeWithParticles(shape: _SceneShape, flags: FlagGrid,
                              parts: BasicParticleSystem, discretization: int,
                              randomness: float, reset: bool = False,
                              refillEmpty: bool = False, exclude=None):
-    p = cp.sample_shape_with_particles(
+    pts = cp.sample_shape_positions(
         shape.shape, np.asarray(flags.data), flags.dom, discretization,
         randomness,
-        exclude_phi=np.asarray(exclude.data) if exclude is not None else None)
-    parts._replace(p)
+        exclude_phi=np.asarray(exclude.data) if exclude is not None else None,
+        refill_empty=refillEmpty)
+    _insert_sampled(parts, pts, reset=reset)
 
 
 def mapPartsToMAC(flags: FlagGrid, vel: MACGrid, velOld: MACGrid,

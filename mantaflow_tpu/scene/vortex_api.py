@@ -17,7 +17,9 @@ class VortexParticleSystem:
     """Vortex particles with Gaussian-mollified kernel induction
     (vortexpart.h:33-41)."""
 
-    def __init__(self, solver: Solver, name: str = ""):
+    def __init__(self, solver: Solver = None, name: str = "",
+                 parent: Solver = None):
+        solver = solver if solver is not None else parent
         self.solver = solver
         self.pos = np.zeros((0, 3), np.float32)
         self.vorticity = np.zeros((0, 3), np.float32)
@@ -69,7 +71,9 @@ def VPseedK41(system: VortexParticleSystem, shape, strength: float = 0.0,
 class TurbulenceParticleSystem:
     """Synthesized-turbulence tracers (turbulencepart.h:35-42)."""
 
-    def __init__(self, solver: Solver, noise=None, name: str = ""):
+    def __init__(self, solver: Solver = None, noise=None,
+                 name: str = "", parent: Solver = None):
+        solver = solver if solver is not None else parent
         self.solver = solver
         self.noise = noise
         self.pos = np.zeros((0, 3), np.float32)
@@ -157,7 +161,9 @@ class VortexSheetMesh(Mesh):
     """Mesh carrying per-triangle circulation/vorticity/smoke and two node
     texcoord3 channels (vortexsheet.h:38-82)."""
 
-    def __init__(self, solver: Solver, name: str = ""):
+    def __init__(self, solver: Solver = None, name: str = "",
+                 parent: Solver = None):
+        solver = solver if solver is not None else parent
         super().__init__(solver, name)
         self.tri_vorticity = np.zeros((0, 3), np.float32)
         self.tri_vorticity_smoothed = np.zeros((0, 3), np.float32)

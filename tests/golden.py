@@ -25,9 +25,16 @@ def do_test_grid(name: str, grid, threshold: float,
     path = os.path.join(TESTDATA, name + ".uni")
     arr = np.asarray(grid.data if hasattr(grid, "data") else grid)
 
-    if os.environ.get("MANTA_GEN_TEST_DATA") == "1" or not os.path.exists(path):
+    if os.environ.get("MANTA_GEN_TEST_DATA") == "1":
         uio.write_grid_uni(path, arr)
         return True
+    if not os.path.exists(path):
+        # a missing golden is a FAILURE (a deleted/renamed file must not
+        # silently turn the regression into a no-op); regenerate explicitly
+        # with MANTA_GEN_TEST_DATA=1
+        raise FileNotFoundError(
+            f"golden data missing: {path} (run with MANTA_GEN_TEST_DATA=1 "
+            "to generate)")
 
     golden, _ = uio.read_grid_uni(path)
     golden = np.asarray(golden, np.float64)
