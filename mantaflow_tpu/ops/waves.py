@@ -63,7 +63,10 @@ def cg_solve_wave_eq(flags, ut, utm1, dt, dom: Domain,
         alpha = jnp.where(jnp.abs(dp) > 0, sigma / dp, 0.0)
         x = x + alpha * srch
         r = r - alpha * tmp
-        rn = jnp.max(jnp.abs(r))
+        # this fork's GridCgInterface defaults mUseL2Norm=true
+        # (conjugategrad.h:31), and cgSolveWE never overrides it: the
+        # convergence metric is GridSumSqr (sum of squares, NO sqrt)
+        rn = dot(r, r)
         done = rn < cg_accuracy
         sigma_new = dot(r, r)
         beta = sigma_new / jnp.maximum(sigma, 1e-30)
@@ -73,7 +76,7 @@ def cg_solve_wave_eq(flags, ut, utm1, dt, dom: Domain,
 
     x0 = jnp.zeros_like(rhs)
     init = (x0, rhs, rhs, dot(rhs, rhs), jnp.int32(0),
-            jnp.max(jnp.abs(rhs)), jnp.array(False))
+            dot(rhs, rhs), jnp.array(False))
     x, r, srch, sigma, iters, rn, _ = jax.lax.while_loop(cond, body, init)
     return x, ut, iters, rn
 

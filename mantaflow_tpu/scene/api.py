@@ -238,17 +238,25 @@ class GridBase:
     def sub(self, other):
         self.data = self.data - other.data
 
+    def _const(self, v):
+        """Normalize scalar/vec3 constants: a Vec3 on a 3-channel grid
+        broadcasts per component (Grid<Vec3> scalar-op semantics)."""
+        if self.channels == 3 and hasattr(v, "__len__") and len(v) == 3:
+            return jnp.asarray([v[0], v[1], v[2]],
+                               self.dtype).reshape(3, 1, 1, 1)
+        return v
+
     def addConst(self, v):
-        self.data = self.data + v
+        self.data = self.data + self._const(v)
 
     def addScaled(self, other, factor):
-        self.data = self.data + factor * other.data
+        self.data = self.data + self._const(factor) * other.data
 
     def mult(self, other):
         self.data = self.data * other.data
 
     def multConst(self, v):
-        self.data = self.data * v
+        self.data = self.data * self._const(v)
 
     def clamp(self, vmin, vmax):
         self.data = jnp.clip(self.data, vmin, vmax)
