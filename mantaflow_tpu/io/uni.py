@@ -67,7 +67,7 @@ def read_grid_uni(filename: str):
     Accepts MNT2 and MNT3 files (the reference's v3/v4)."""
     with gzip.open(filename, "rb") as f:
         magic = f.read(4)
-        if magic == b"MNT3":
+        if magic in (b"MNT3", b"M4T3"):
             vals = struct.unpack(_HEADER_FMT, f.read(288))
             keys = ("dimX", "dimY", "dimZ", "gridType", "elementType",
                     "bytesPerElement", "info", "dimT", "timestamp")
@@ -82,7 +82,17 @@ def read_grid_uni(filename: str):
     dt = np.int32 if h["elementType"] == 0 else np.float32
     data = np.frombuffer(raw, dtype=dt)
     shape = (h["dimZ"], h["dimY"], h["dimX"])
-    if h["elementType"] == 2:
+    if magic == b"M4T3":
+        # 4D space-time grid (writeGrid4dUni, iogrids.cpp:622-675); Vec3/Vec4
+        # both use elementType=2, channel count from bytesPerElement.
+        shape = (h["dimT"],) + shape
+        nc = h["bytesPerElement"] // 4
+        if nc > 1:
+            data = data.reshape(shape + (nc,))
+            data = np.moveaxis(data, -1, 0)  # -> (C,t,z,y,x)
+        else:
+            data = data.reshape(shape)
+    elif h["elementType"] == 2:
         data = data.reshape(shape + (3,))
         data = np.moveaxis(data, -1, 0)  # -> (3,z,y,x)
     else:

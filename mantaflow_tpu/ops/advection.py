@@ -335,6 +335,20 @@ def advect_real(flags, vel, grid, dt, order: int = 1, strength: float = 1.0,
     raise ValueError("advectSemiLagrange: only order 1 and 2 supported")
 
 
+def advect_vec3(flags, vel, grid, dt, order: int = 1, strength: float = 1.0,
+                order_space: int = 1, clamp_mode: int = 2,
+                order_trace: int = 1):
+    """advectSemiLagrange for cell-centered Vec3 grids
+    (fnAdvectSemiLagrange<Grid<Vec3>>, advection.cpp:294-322).
+
+    SemiLagrange<Vec3>, MacCormackCorrect<Vec3> and doClampComponent<Vec3>
+    all act component-wise with positions/masks shared across components,
+    so this is exactly per-component scalar advection."""
+    return jnp.stack([advect_real(flags, vel, grid[c], dt, order, strength,
+                                  order_space, clamp_mode, order_trace)
+                      for c in range(3)])
+
+
 def advect_mac(flags, vel, grid, dt, order: int = 1, strength: float = 1.0,
                order_space: int = 1, clamp_mode: int = 2,
                order_trace: int = 1):

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from ..core import flags as fl
 from ..core import mac as macops
 from ..core.domain import Domain
-from ..core.interp import interpol, interpol_mac
+from ..core.interp import interpol, interpol_hi, interpol_mac
 from ..core.masks import interior_mask, shift
 from ..utils.noise import _A_COEFFS, _P_COEFFS, WaveletNoiseField
 
@@ -44,25 +44,36 @@ def _size_factor(src_size, tgt_size, scale=(1.0, 1.0, 1.0),
 
 
 def interpolate_grid(target_dom: Domain, source, src_dom: Domain,
-                     scale=(1.0, 1.0, 1.0), offset=(0.0, 0.0, 0.0)):
+                     scale=(1.0, 1.0, 1.0), offset=(0.0, 0.0, 0.0),
+                     order_space: int = 1):
     """interpolateGrid: resample a scalar grid to a new resolution."""
     f, off = _size_factor(src_dom.size, target_dom.size, scale, offset)
     px, py, pz = _cell_pos(target_dom, f, off)
-    return interpol(source, px, py, pz)
+    return interpol_hi(source, px, py, pz, order_space)
 
 
 def interpolate_grid_vec3(target_dom: Domain, source, src_dom: Domain,
-                          scale=(1.0, 1.0, 1.0), offset=(0.0, 0.0, 0.0)):
+                          scale=(1.0, 1.0, 1.0), offset=(0.0, 0.0, 0.0),
+                          order_space: int = 1):
     f, off = _size_factor(src_dom.size, target_dom.size, scale, offset)
     px, py, pz = _cell_pos(target_dom, f, off)
-    return jnp.stack([interpol(source[c], px, py, pz) for c in range(3)])
+    return jnp.stack([interpol_hi(source[c], px, py, pz, order_space)
+                      for c in range(3)])
 
 
 def interpolate_mac_grid(target_dom: Domain, source, src_dom: Domain,
-                         scale=(1.0, 1.0, 1.0), offset=(0.0, 0.0, 0.0)):
+                         scale=(1.0, 1.0, 1.0), offset=(0.0, 0.0, 0.0),
+                         order_space: int = 1):
     """interpolateMACGrid: per-component sampling at face positions
     (waveletturbulence.cpp:60-71; pos = ijk*factor+off, minus half the face
-    axis)."""
+    axis).
+
+    orderSpace=2 quirk: KnInterpolateMACGrid shifts pos by -0.5 on the face
+    axis, but interpolCubicMAC (interpolHigh.h:174-180) adds the same +0.5
+    back before a plain component-wise Vec3 cubic lookup — the shifts cancel,
+    so cubic-MAC == per-component cell-centered cubic at the UNSHIFTED pos
+    (with interpolCubic's centered-linear fallback near borders).
+    """
     f, off = _size_factor(src_dom.size, target_dom.size, scale, offset)
     sz, sy, sx = target_dom.shape
     x = jnp.arange(sx, dtype=jnp.float32).reshape(1, 1, sx)
@@ -73,10 +84,13 @@ def interpolate_mac_grid(target_dom: Domain, source, src_dom: Domain,
             jnp.broadcast_to(z * f[2] + off[2], target_dom.shape)]
     comps = []
     for c in range(3 if target_dom.is3d else 2):
-        p = list(base)
-        p[c] = p[c] - 0.5
-        u, v, w = interpol_mac(source, p[0], p[1], p[2])
-        comps.append([u, v, w][c])
+        if order_space == 2:
+            comps.append(interpol_hi(source[c], base[0], base[1], base[2], 2))
+        else:
+            p = list(base)
+            p[c] = p[c] - 0.5
+            u, v, w = interpol_mac(source, p[0], p[1], p[2])
+            comps.append([u, v, w][c])
     if not target_dom.is3d:
         comps.append(jnp.zeros_like(comps[0]))
     return jnp.stack(comps)

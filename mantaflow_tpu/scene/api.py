@@ -454,21 +454,23 @@ class _SceneShape:
         raise NotImplementedError
 
     def applyToGrid(self, grid: GridBase, value=None, respectFlags=None):
+        # stamped into the GRID's own index space (the shape is geometric;
+        # a shape built on one solver can stamp another solver's grids)
         rf = respectFlags.data if respectFlags is not None else None
         if value is None:
             value = 1.0
         if isinstance(grid, MACGrid):
             grid.data = self.shape.apply_to_mac_grid(grid.data, value,
-                                                     self.solver.domain, rf)
+                                                     grid.dom, rf)
         else:
             grid.data = self.shape.apply_to_grid(grid.data, value,
-                                                 self.solver.domain, rf)
+                                                 grid.dom, rf)
 
     def applyToGridSmooth(self, grid: GridBase, sigma: float = 1.0,
                           shift: float = 0.0, value=1.0, respectFlags=None):
         rf = respectFlags.data if respectFlags is not None else None
         grid.data = self.shape.apply_to_grid_smooth(
-            grid.data, value, self.solver.domain, sigma, shift, rf)
+            grid.data, value, grid.dom, sigma, shift, rf)
 
     def computeLevelset(self):
         g = LevelsetGrid(self.solver)
@@ -647,6 +649,14 @@ def _advect_mac_jit(flags, vel, grid, dt, order, strength, orderSpace,
                           clampMode, orderTrace)
 
 
+@partial(jax.jit, static_argnames=("order", "strength", "orderSpace",
+                                   "clampMode", "orderTrace"))
+def _advect_vec3_jit(flags, vel, grid, dt, order, strength, orderSpace,
+                     clampMode, orderTrace):
+    return adv.advect_vec3(flags, vel, grid, dt, order, strength, orderSpace,
+                           clampMode, orderTrace)
+
+
 def advectSemiLagrange(flags: FlagGrid, vel: MACGrid, grid: GridBase,
                        order: int = 1, strength: float = 1.0,
                        orderSpace: int = 1, openBounds: bool = False,
@@ -661,6 +671,10 @@ def advectSemiLagrange(flags: FlagGrid, vel: MACGrid, grid: GridBase,
                                     orderTrace)
     elif isinstance(grid, (RealGrid, LevelsetGrid)):
         grid.data = _advect_real_jit(flags.data, vel.data, grid.data, dt,
+                                     order, strength, orderSpace, clampMode,
+                                     orderTrace)
+    elif isinstance(grid, Vec3Grid):
+        grid.data = _advect_vec3_jit(flags.data, vel.data, grid.data, dt,
                                      order, strength, orderSpace, clampMode,
                                      orderTrace)
     else:
@@ -920,8 +934,16 @@ class Grid4Base:
         self.data = g4.zeros4d((sx, sy, sz, st), self.dtype,
                                self.channels)
 
+    def _const(self, v):
+        """Scalar or per-channel (vec3/vec4) constant, broadcastable."""
+        if self.channels and hasattr(v, "__len__"):
+            return jnp.asarray(tuple(v)[:self.channels],
+                               self.dtype).reshape(self.channels, 1, 1, 1, 1)
+        return jnp.asarray(v, self.dtype)
+
     def setConst(self, v):
-        self.data = jnp.full_like(self.data, v)
+        self.data = jnp.broadcast_to(self._const(v),
+                                     self.data.shape).astype(self.dtype)
 
     def clear(self):
         self.data = jnp.zeros_like(self.data)
@@ -932,8 +954,17 @@ class Grid4Base:
     def sub(self, other):
         self.data = self.data - other.data
 
+    def addConst(self, v):
+        self.data = self.data + self._const(v)
+
+    def addScaled(self, other, factor):
+        self.data = self.data + self._const(factor) * other.data
+
     def multConst(self, v):
-        self.data = self.data * v
+        self.data = self.data * self._const(v)
+
+    def copyFrom(self, other):
+        self.data = other.data.astype(self.dtype)
 
     def getMaxAbs(self):
         return float(jnp.max(jnp.abs(self.data)))

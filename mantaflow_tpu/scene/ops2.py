@@ -24,7 +24,8 @@ def _t(grid):
 def interpolateGrid(target: RealGrid, source: RealGrid, scale=(1, 1, 1),
                     offset=(0, 0, 0), size=(-1, -1, -1), orderSpace: int = 1):
     target.data = tur.interpolate_grid(target.dom, source.data, source.dom,
-                                       tuple(scale), tuple(offset))
+                                       tuple(scale), tuple(offset),
+                                       orderSpace)
 
 
 def interpolateGridVec3(target: Vec3Grid, source: Vec3Grid, scale=(1, 1, 1),
@@ -32,7 +33,7 @@ def interpolateGridVec3(target: Vec3Grid, source: Vec3Grid, scale=(1, 1, 1),
                         orderSpace: int = 1):
     target.data = tur.interpolate_grid_vec3(target.dom, source.data,
                                             source.dom, tuple(scale),
-                                            tuple(offset))
+                                            tuple(offset), orderSpace)
 
 
 def interpolateMACGrid(target: MACGrid, source: MACGrid, scale=(1, 1, 1),
@@ -40,7 +41,7 @@ def interpolateMACGrid(target: MACGrid, source: MACGrid, scale=(1, 1, 1),
                        orderSpace: int = 1):
     target.data = tur.interpolate_mac_grid(target.dom, source.data,
                                            source.dom, tuple(scale),
-                                           tuple(offset))
+                                           tuple(offset), orderSpace)
 
 
 def applySimpleNoiseVec3(flags: FlagGrid, target: Vec3Grid,

@@ -56,11 +56,64 @@ class PdataBase:
         self._source = grid
         self._source_is_mac = isMAC
 
+    # -- ParticleDataImpl<T> arithmetic (particle.h:311-380) ----------------
+    def _const(self, v):
+        if self.data.ndim == 2 and hasattr(v, "__len__") and len(v) == 3:
+            return jnp.asarray([v[0], v[1], v[2]], self.data.dtype)
+        return jnp.asarray(v, self.data.dtype)
+
+    def add(self, other):
+        self.data = self.data + other.data
+
+    def sub(self, other):
+        self.data = self.data - other.data
+
+    def addConst(self, v):
+        self.data = self.data + self._const(v)
+
+    def addScaled(self, other, factor):
+        self.data = self.data + self._const(factor) * other.data
+
+    def mult(self, other):
+        self.data = self.data * other.data
+
     def multConst(self, v):
-        self.data = self.data * v
+        self.data = self.data * self._const(v)
+
+    def safeDiv(self, other):
+        self.data = jnp.where(other.data == 0, self.data,
+                              self.data / jnp.where(other.data == 0, 1,
+                                                    other.data))
 
     def clamp(self, vmin, vmax):
         self.data = jnp.clip(self.data, vmin, vmax)
+
+    def clampMin(self, v):
+        self.data = jnp.maximum(self.data, v)
+
+    def clampMax(self, v):
+        self.data = jnp.minimum(self.data, v)
+
+    def sum(self):
+        n = int(self.parent.parts.count)
+        return float(jnp.sum(self.data[:n]))
+
+    def save(self, name: str):
+        from ..io import uni as uio
+        n = int(self.parent.parts.count)
+        uio.write_pdata_uni(name, np.asarray(self.data[:n]),
+                            self.parent.dom.size)
+
+    def load(self, name: str):
+        from ..io import uni as uio
+        data, _ = uio.read_pdata_uni(
+            name, dtype=np.int32 if self.data.dtype == jnp.int32 else None)
+        data = jnp.asarray(data)
+        cap = self.data.shape[0]
+        if data.shape[0] < cap:
+            pad = [(0, cap - data.shape[0])] + [(0, 0)] * (data.ndim - 1)
+            data = jnp.pad(data, pad)
+        self.data = data[:cap].astype(self.data.dtype)
 
     def getMaxAbs(self):
         if self.data.ndim == 2:

@@ -119,23 +119,36 @@ class WaveletNoiseField:
 
     _tile_cache: dict[int, np.ndarray] = {}
 
+    #: candidate paths for the reference's on-disk tile cache
+    #: (noisefield.cpp:24 TILENAME "waveletNoiseTile.bin"): cwd first (the
+    #: reference semantics), then the repo's reference-golden data dir.
+    TILE_FILENAME = "waveletNoiseTile.bin"
+
     def __init__(self, domain=None, fixed_seed: int = -1,
                  load_from_file: bool = False):
-        del load_from_file  # no on-disk tile cache; generation is fast
         if fixed_seed == -1:
             fixed_seed = 13322223 + 123
         self.seed = fixed_seed
-        if fixed_seed not in self._tile_cache:
-            self._tile_cache[fixed_seed] = _generate_tile(fixed_seed)
-        self.tiles = jnp.asarray(self._tile_cache[fixed_seed])
+        key = (fixed_seed, bool(load_from_file))
+        if key not in self._tile_cache:
+            tile = self._load_tile_file() if load_from_file else None
+            if tile is None:
+                tile = _generate_tile(fixed_seed)
+            self._tile_cache[key] = tile
+        self.tiles = jnp.asarray(self._tile_cache[key])
         # grid-size normalization (noisefield.cpp:66-72)
         if domain is not None:
             scale = 1.0 / max(domain.size)
             self.gs_inv = (scale, scale, scale if domain.is3d else 1.0)
         else:
             self.gs_inv = (1.0, 1.0, 1.0)
-        rng = np.random.RandomState(fixed_seed)
-        self.seed_offset = tuple(rng.uniform(0, 1, 3))
+        # mSeedOffset = RandomStream(fixedSeed).getVec3Norm()
+        # (noisefield.cpp:77-78): exact reference stream
+        from .mtrand import RandomStream
+        v = RandomStream(fixed_seed).get_vec3s(1)[0].astype(np.float64)
+        n = np.sqrt((v * v).sum())
+        self.seed_offset = tuple((v / n).astype(np.float32)) if n > 0 \
+            else (0.0, 0.0, 0.0)
         self.pos_scale = (1.0, 1.0, 1.0)
         self.pos_offset = (0.0, 0.0, 0.0)
         self.val_scale = 1.0
@@ -144,6 +157,23 @@ class WaveletNoiseField:
         self.clamp_neg = 0.0
         self.clamp_pos = 1.0
         self.time_anim = 0.0
+
+    @classmethod
+    def _load_tile_file(cls):
+        """Load the reference's raw tile dump: 3x128^3 float32, layout
+        [tile][(z*n + y)*n + x] (noisefield.cpp:94-110)."""
+        import os
+        n = TILE
+        cands = [cls.TILE_FILENAME,
+                 os.path.join(os.path.dirname(os.path.dirname(
+                     os.path.dirname(os.path.abspath(__file__)))),
+                     "tests", "testdata_ref", cls.TILE_FILENAME)]
+        for p in cands:
+            if os.path.exists(p):
+                raw = np.fromfile(p, dtype=np.float32)
+                if raw.size == 3 * n ** 3:
+                    return raw.reshape(3, n, n, n)
+        return None
 
     # -- transforms (evaluate, noisefield.h:332-346) ------------------------
     def _xform(self, px, py, pz, time: float):
