@@ -125,6 +125,145 @@ def advect_mesh_nodes(nodes, vel, dt, dom: Domain, integration_mode: int = 0):
     return nodes + (2 * u0 + 2 * u1 + 2 * u2 + u3) / 6.0
 
 
+def mesh_sdf(nodes, tris, dom: Domain, sigma: float = 2.0,
+             cutoff: float = -1.0, parent_size=None):
+    """Reference-exact meshSDF (mesh.cpp:868-1004): Gaussian-weighted
+    point-normal plane distances from face centers + barycentric edge
+    samples, accumulated over a cell-block window, then outside flood fill.
+
+    Host-side numpy by design (serial mesh op, SURVEY §7). Returns a
+    float32 [z,y,x] array.
+    """
+    onp = np
+    f32 = onp.float32
+    nodes = onp.asarray(nodes, f32)
+    tris = onp.asarray(tris)
+    sz, sy, sx = dom.shape
+    if cutoff < 0:
+        cutoff = 2.0 * sigma
+    max_edge_len = f32(0.75)
+    samples_per_cell = f32(0.75)
+    if parent_size is None:
+        parent_size = (sx, sy, sz)
+    mult = (onp.array([sx, sy, sz], f32)
+            / onp.asarray(parent_size, f32)).astype(f32)
+
+    if len(tris) == 0:
+        return jnp.full(dom.shape, f32(cutoff))
+
+    # all arithmetic in float32 to track the reference bit-for-bit-ish
+    p0, p1, p2 = nodes[tris[:, 0]], nodes[tris[:, 1]], nodes[tris[:, 2]]
+    fnorm = onp.cross((p1 - p0).astype(f32), (p2 - p0).astype(f32)).astype(f32)
+    nn = onp.sqrt((fnorm * fnorm).sum(axis=1, keepdims=True).astype(f32))
+    fnorm = onp.where(nn > 0, (fnorm / onp.where(nn == 0, 1, nn)).astype(f32),
+                      fnorm)
+    centers = [(((p0 + p1) + p2) / f32(3.0) * mult).astype(f32)]
+    normals = [fnorm]
+
+    # big-edge barycentric sampling (mesh.cpp:885-940); edge e runs from
+    # node e to node (e+1)%3, numSamples taken from the OTHER two edges.
+    elen = onp.stack([onp.sqrt(((p1 - p0) ** 2).sum(axis=1)),
+                      onp.sqrt(((p2 - p1) ** 2).sum(axis=1)),
+                      onp.sqrt(((p0 - p2) ** 2).sum(axis=1))],
+                     axis=1).astype(f32)
+    big = (elen > max_edge_len)
+    n_samp = (elen * samples_per_cell).astype(onp.int64)
+    corners = onp.stack([p0, p1, p2], axis=1)  # (T,3,3)
+    scaled = (corners * mult[None, None]).astype(f32)  # getNode * mult
+    for t in onp.nonzero(big.any(axis=1))[0]:
+        b0, b1, _ = big[t]
+        # numSamples0/1/2 come from edges 1/2/0 respectively
+        # (mesh.cpp:895-897: numSamples0 = norm(getEdge(i,1)) * spc, ...)
+        ns = n_samp[t]
+        if not b0:
+            iterA, pA, iterB, pB = ns[2], 0, ns[0], 1
+        elif not b1:
+            iterA, pA, iterB, pB = ns[0], 1, ns[1], 2
+        else:
+            iterA, pA, iterB, pB = ns[1], 2, ns[2], 0
+        if iterA <= 0 or iterB <= 0:
+            continue
+        pC = 3 - pA - pB
+        # u/v: double ratio cast to float32 (Real(1.*sample/iter)), w and
+        # the w<0 cull in float32 — inclusion at w==0 is rounding-decided
+        u = (onp.arange(iterA, dtype=onp.float64)[:, None] / iterA)
+        v = (onp.arange(iterB, dtype=onp.float64)[None, :] / iterB)
+        u, v = onp.broadcast_arrays(u.astype(f32), v.astype(f32))
+        w = (f32(1.0) - u) - v
+        keep = w >= 0
+        u, v, w = u[keep], v[keep], w[keep]
+        pts = ((scaled[t, pA][None] * u[:, None]
+                + scaled[t, pB][None] * v[:, None]).astype(f32)
+               + scaled[t, pC][None] * w[:, None]).astype(f32)
+        centers.append(pts)
+        normals.append(onp.broadcast_to(fnorm[t], pts.shape))
+    pos = onp.concatenate(centers, axis=0).astype(f32)
+    nrm = onp.concatenate(normals, axis=0).astype(f32)
+
+    # bin by truncated cell index, drop out-of-range (_cIndex, mesh.cpp:822)
+    blk = pos.astype(onp.int64)  # trunc toward zero for pos>=0
+    ok = ((blk >= 0).all(axis=1) & (blk[:, 0] < sx) & (blk[:, 1] < sy)
+          & (blk[:, 2] < sz))
+    pos, nrm, blk = pos[ok], nrm[ok], blk[ok]
+
+    safe_r2 = f32(cutoff + onp.sqrt(3.0) * 0.5) ** 2
+    cutoff2 = f32(cutoff) * f32(cutoff)
+    isigma2 = f32(1.0) / (f32(sigma) * f32(sigma))
+    int_r = int(cutoff + 0.5)
+
+    wsum = onp.zeros(sz * sy * sx, f32)
+    wdist = onp.zeros(sz * sy * sx, f32)
+    for dz in range(-int_r, int_r + 1):
+        for dy in range(-int_r, int_r + 1):
+            for dx in range(-int_r, int_r + 1):
+                if dx * dx + dy * dy + dz * dz > safe_r2:
+                    continue
+                ci = blk[:, 0] + dx
+                cj = blk[:, 1] + dy
+                ck = blk[:, 2] + dz
+                m = ((ci >= 0) & (ci < sx) & (cj >= 0) & (cj < sy)
+                     & (ck >= 0) & (ck < sz))
+                if not m.any():
+                    continue
+                r = (onp.stack([ci[m], cj[m], ck[m]], axis=1).astype(f32)
+                     + f32(0.5)) - pos[m]
+                r2 = (r * r).sum(axis=1, dtype=f32)
+                inside = r2 < cutoff2
+                if not inside.any():
+                    continue
+                w = onp.exp(-r2[inside] * isigma2).astype(f32)
+                d = ((nrm[m][inside] * r[inside]).sum(axis=1, dtype=f32)
+                     * w).astype(f32)
+                flat = ((ck[m][inside] * sy + cj[m][inside]) * sx
+                        + ci[m][inside])
+                onp.add.at(wsum, flat, w)
+                onp.add.at(wdist, flat, d)
+
+    wsum = wsum.reshape(sz, sy, sx)
+    wdist = wdist.reshape(sz, sy, sx)
+    phi = onp.where(wsum > 0, wdist / onp.where(wsum == 0, f32(1), wsum),
+                    f32(-cutoff)).astype(f32)
+
+    # outside flood fill (mesh.cpp:988-1004): start from cells already at
+    # >= cutoff-1, expand through phi<0 cells, set all visited to +cutoff
+    region = phi >= (cutoff - 1.0)
+    neg = phi < 0
+    while True:
+        grow = onp.zeros_like(region)
+        grow[1:] |= region[:-1]
+        grow[:-1] |= region[1:]
+        grow[:, 1:] |= region[:, :-1]
+        grow[:, :-1] |= region[:, 1:]
+        grow[:, :, 1:] |= region[:, :, :-1]
+        grow[:, :, :-1] |= region[:, :, 1:]
+        new = grow & neg & ~region
+        if not new.any():
+            break
+        region |= new
+    phi = onp.where(region, onp.float32(cutoff), phi)
+    return jnp.asarray(phi)
+
+
 def mesh_to_levelset(nodes, tris, dom: Domain, band: float = 4.0,
                      samples_per_tri: int = 16):
     """Mesh::computeLevelset capability (mesh.cpp): unsigned distance from

@@ -332,6 +332,49 @@ def solve_pressure_system(rhs, flags, dom: Domain, stencil,
 
 
 # ---------------------------------------------------------------------------
+# viscosity / diffusion solve (cgSolveDiffusion, conjugategrad.cpp:350-424)
+
+def cg_solve_diffusion(flags, grid, dom: Domain, alpha: float = 0.25,
+                       cg_max_iter_fac: float = 1.0,
+                       cg_accuracy: float = 1e-4):
+    """Implicit diffusion (I + alpha*L) u_new = u via plain CG.
+
+    Reference semantics kept: the Laplacian is assembled with an all-fluid
+    dummy flag grid (interior only), obstacle rows become identity, the CG
+    masks to the REAL flags' fluid region, and non-fluid cells end up ZERO
+    (the reference overwrites the grid with the cleared CG solution vector).
+    Scalar [z,y,x] or vector/MAC (3,z,y,x) input; vector grids diffuse each
+    of the first 2 (2D) or 3 (3D) components independently.
+    """
+    dummy = jnp.full(dom.shape, fl.TypeFluid, jnp.int32)
+    a0, ai, aj, ak = make_laplace_stencil(dummy, dom)
+    obst = fl.is_obstacle(flags)
+    al = jnp.float32(alpha)
+    a0 = jnp.where(obst, 1.0, a0 * al + 1.0)
+    ai = jnp.where(obst, 0.0, ai * al)
+    aj = jnp.where(obst, 0.0, aj * al)
+    ak = jnp.where(obst, 0.0, ak * al)
+    stencil = (a0, ai, aj, ak)
+
+    max_iter = int(cg_max_iter_fac * max(dom.size)) * (1 if dom.is3d else 4)
+    fluid = fl.is_fluid(flags)
+
+    def solve_comp(u):
+        rhs = jnp.where(fluid, u, 0.0)
+        x, _, _ = solve_pressure_system(
+            rhs, flags, dom, stencil, cg_accuracy, cg_max_iter_fac,
+            PcNone, False, None, max_iter)
+        return jnp.where(fluid, x, 0.0)
+
+    if grid.ndim == 3:
+        return solve_comp(grid)
+    n_comp = 3 if dom.is3d else 2
+    comps = [solve_comp(grid[c]) if c < n_comp else grid[c]
+             for c in range(grid.shape[0])]
+    return jnp.stack(comps)
+
+
+# ---------------------------------------------------------------------------
 # velocity correction (knCorrectVelocity :88, ghost fluid :153-200)
 
 def correct_velocity(flags, vel, pressure, dom: Domain, phi=None,

@@ -257,22 +257,41 @@ def reset_uv_grid(dom: Domain, offset=(0.0, 0.0, 0.0)):
                       jnp.broadcast_to(z, dom.shape)])
 
 
-def update_uv_weight(reset_time: float, index: int, num_uvs: int, uv,
-                     time: float, dom: Domain, offset=(0.0, 0.0, 0.0)):
-    """updateUvWeight (grid.cpp:602-640): ramped blending weight for
-    time-staggered UV sets; resets the uv grid when its cycle wraps.
-    Returns (uv, weight)."""
-    t_off = reset_time / num_uvs
-    t = (time + (num_uvs - index - 1) * t_off) / reset_time
-    t = t - jnp.floor(t)
+def _uv_grid_time(t, reset_time):
+    """computeUvGridTime (grid.cpp:582): C fmod(t/resetTime, 1) — keeps the
+    sign of t (negative just before t=0, so the t=0 call does NOT reset)."""
+    x = t / reset_time
+    return jnp.fmod(x, 1.0)
+
+
+def _uv_ramp(t):
+    """computeUvRamp (grid.cpp:586): triangle wave in 0..1."""
     w = 2.0 * t
-    w = jnp.where(w > 1.0, 2.0 - w, w)
-    # reset when a new cycle just started (within one frame of t=0)
-    last_t = (time - 1.0 + (num_uvs - index - 1) * t_off) / reset_time
-    last_t = last_t - jnp.floor(last_t)
-    do_reset = t < last_t
+    return jnp.where(w > 1.0, 2.0 - w, w)
+
+
+def update_uv_weight(reset_time: float, index: int, num_uvs: int, uv,
+                     time: float, dt: float, dom: Domain,
+                     offset=(0.0, 0.0, 0.0)):
+    """updateUvWeight (grid.cpp:602-629): ramped blending weight for
+    time-staggered UV sets, normalized over all sets; resets the uv grid
+    when its cycle wraps (currt < lastt), and stores (weight,0,0) into
+    cell 0 of the grid — the reference's in-band weight channel read back
+    by getUvWeight. Returns (uv, weight)."""
+    t_off = reset_time / num_uvs
+    lastt = _uv_grid_time(time + index * t_off - dt, reset_time)
+    currt = _uv_grid_time(time + index * t_off, reset_time)
+    w = _uv_ramp(currt)
+    total = sum(_uv_ramp(_uv_grid_time(time + i * t_off, reset_time))
+                for i in range(num_uvs))
+    w = jnp.where(total <= 1e-6, 1.0, w / jnp.maximum(total, 1e-6))
+    do_reset = currt < lastt
     fresh = reset_uv_grid(dom, offset)
     uv = jnp.where(do_reset, fresh, uv)
+    # uv[0] = Vec3(uvWeight, 0, 0)
+    uv = uv.at[0, 0, 0, 0].set(w)
+    uv = uv.at[1, 0, 0, 0].set(0.0)
+    uv = uv.at[2, 0, 0, 0].set(0.0)
     return uv, w
 
 

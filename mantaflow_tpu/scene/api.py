@@ -173,6 +173,9 @@ def Vec4(x, y=None, z=None, t=None):
     return (float(x), float(y), float(z), float(t))
 
 
+vec4 = Vec4  # manta exposes both spellings
+
+
 def vec3i(x, y=None, z=None):
     if y is None:
         y = z = x
@@ -262,9 +265,16 @@ class GridBase:
         self.data = jnp.clip(self.data, vmin, vmax)
 
     def getMax(self):
+        if self.channels == 3:
+            # Grid<Vec3>::getMax = sqrt(max norm^2) (grid.cpp:361)
+            return self.getMaxAbs()
         return float(jnp.max(self.data))
 
     def getMin(self):
+        if self.channels == 3:
+            # Grid<Vec3>::getMin = sqrt(min norm^2) (grid.cpp:364)
+            return float(jnp.sqrt(jnp.min(
+                self.data[0] ** 2 + self.data[1] ** 2 + self.data[2] ** 2)))
         return float(jnp.min(self.data))
 
     def getMaxAbs(self):
@@ -655,6 +665,23 @@ def _advect_vec3_jit(flags, vel, grid, dt, order, strength, orderSpace,
                      clampMode, orderTrace):
     return adv.advect_vec3(flags, vel, grid, dt, order, strength, orderSpace,
                            clampMode, orderTrace)
+
+
+@partial(jax.jit, static_argnames=("cgMaxIterFac", "cgAccuracy"))
+def _cg_diffusion_jit(flags, grid, alpha, cgMaxIterFac, cgAccuracy):
+    from ..core.domain import domain_from_shape
+    dom = domain_from_shape(flags.shape)
+    return prs.cg_solve_diffusion(flags, grid, dom, alpha, cgMaxIterFac,
+                                  cgAccuracy)
+
+
+def cgSolveDiffusion(flags: FlagGrid, grid: GridBase, alpha: float = 0.25,
+                     cgMaxIterFac: float = 1.0, cgAccuracy: float = 1e-4):
+    """conjugategrad.cpp:350 cgSolveDiffusion (viscosity; see
+    lidDrivenCavity.py)."""
+    grid.data = _cg_diffusion_jit(flags.data, grid.data,
+                                  jnp.float32(alpha), float(cgMaxIterFac),
+                                  float(cgAccuracy))
 
 
 def advectSemiLagrange(flags: FlagGrid, vel: MACGrid, grid: GridBase,

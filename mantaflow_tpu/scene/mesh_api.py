@@ -153,12 +153,14 @@ class Mesh:
 
     def computeLevelset(self, levelset: LevelsetGrid, sigma: float = 2.0,
                         cutoff: float = -1.0):
-        levelset.data = cmesh.mesh_to_levelset(self.nodes, self.tris,
-                                               self.dom)
+        levelset.data = cmesh.mesh_sdf(self.nodes, self.tris, levelset.dom,
+                                       sigma, cutoff,
+                                       parent_size=self.dom.size)
 
     def applyMeshToGrid(self, grid, value=1.0, cutoff: float = -1.0,
                         meshSigma: float = 2.0):
-        phi = cmesh.mesh_to_levelset(self.nodes, self.tris, self.dom)
+        phi = cmesh.mesh_sdf(self.nodes, self.tris, grid.dom, meshSigma,
+                             cutoff, parent_size=self.dom.size)
         grid.data = jnp.where(phi < 0.0, value, grid.data)
 
     def scale(self, s):

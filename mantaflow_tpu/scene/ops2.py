@@ -98,16 +98,15 @@ def resetUvGrid(target: Vec3Grid, offset=None):
 
 
 def getUvWeight(uv: Vec3Grid):
-    """Reference stores the ramp weight in uv[0][0] (grid.cpp:576); we keep
-    it in a side attribute set by updateUvWeight."""
-    return getattr(uv, "_uv_weight", 1.0)
+    """getUvWeight (grid.cpp:576): the weight lives in uv[0][0].x."""
+    return float(uv.data[0, 0, 0, 0])
 
 
 def updateUvWeight(resetTime: float, index: int, numUvs: int, uv: Vec3Grid,
                    offset=None):
     new_uv, w = tur.update_uv_weight(
-        resetTime, index, numUvs, uv.data, uv.solver.timeTotal, uv.dom,
-        tuple(offset) if offset else (0, 0, 0))
+        resetTime, index, numUvs, uv.data, uv.solver.timeTotal,
+        uv.solver.timestep, uv.dom, tuple(offset) if offset else (0, 0, 0))
     uv.data = new_uv
     uv._uv_weight = float(w)
 
@@ -521,11 +520,12 @@ def resetInObstacle(flags: FlagGrid, vel: MACGrid, density=None, heat=None,
 def densityInflowMesh(flags: FlagGrid, density: RealGrid, mesh,
                       value: float = 1.0, cutoff: float = 7,
                       sigma: float = 0.0):
-    """densityInflowMesh (initplugins.cpp:147)."""
+    """densityInflowMesh (initplugins.cpp:147): meshSDF at sigma=2 with the
+    given cutoff, stamp value where sdf<=sigma in fluid."""
     from ..core import flags as flg
-    from ..core.mesh import mesh_to_levelset
-    sdf = mesh_to_levelset(mesh.nodes, mesh.tris, flags.dom,
-                           band=max(cutoff, 4.0))
+    from ..core.mesh import mesh_sdf
+    sdf = mesh_sdf(mesh.nodes, mesh.tris, flags.dom, 2.0, cutoff,
+                   parent_size=mesh.dom.size)
     ok = flg.is_fluid(flags.data) & (sdf <= sigma)
     density.data = jnp.where(ok, value, density.data)
 
@@ -533,11 +533,12 @@ def densityInflowMesh(flags: FlagGrid, density: RealGrid, mesh,
 def densityInflowMeshNoise(flags: FlagGrid, density: RealGrid,
                            noise: NoiseField, mesh, scale: float = 1.0,
                            sigma: float = 0.0):
-    """densityInflowMeshNoise (initplugins.cpp:139)."""
+    """densityInflowMeshNoise (initplugins.cpp:139): meshSDF at sigma=1."""
     from ..core import flags as flg
-    from ..core.mesh import mesh_to_levelset
+    from ..core.mesh import mesh_sdf
     from ..core.shapes import _cell_centers
-    sdf = mesh_to_levelset(mesh.nodes, mesh.tris, flags.dom)
+    sdf = mesh_sdf(mesh.nodes, mesh.tris, flags.dom, 1.0,
+                   parent_size=mesh.dom.size)
     px, py, pz = _cell_centers(flags.dom)
     val = noise._n.evaluate(px - 0.5, py - 0.5, pz - 0.5)
     factor = jnp.clip(1.0 - 0.5 / max(sigma, 1e-6) * (sdf + sigma), 0.0, 1.0) \

@@ -1,0 +1,61 @@
+"""2D FLIP breaking dam vs reference-binary goldens.
+
+Compact port of tools/tests/test_1070_flip2d.py: dense particle sampling
+(no resampling), p2g with weight extrapolation, pressure solve, FLIP
+velocity update, 60 steps.
+"""
+from mantaflow_tpu import *
+
+
+def scene(dtg):
+    dim, res = 2, 64
+    particleNumber = 3  # more particles in 2d
+    gs = vec3(res, res, 1)
+    s = Solver(name='main', gridSize=gs, dim=dim)
+    s.timestep = 0.7
+
+    flags = s.create(FlagGrid)
+    vel = s.create(MACGrid)
+    velOld = s.create(MACGrid)
+    pressure = s.create(RealGrid)
+    tmpVec3 = s.create(VecGrid)
+    dens = s.create(RealGrid)
+
+    pp = s.create(BasicParticleSystem)
+    pVel = pp.create(PdataVec3)
+    pDens = pp.create(PdataReal)
+
+    flags.initDomain(boundaryWidth=0)
+    fluidbox = s.create(Box, p0=gs * vec3(0.1, 0, 0),
+                        p1=gs * vec3(0.4, 0.6, 1))
+    phiInit = fluidbox.computeLevelset()
+    flags.updateFromLevelset(phiInit)
+
+    sampleFlagsWithParticles(flags=flags, parts=pp,
+                             discretization=particleNumber, randomness=0.2)
+    pDens.setConst(0.5)
+
+    for t in range(60):
+        pp.advectInGrid(flags=flags, vel=vel, integrationMode=IntRK4,
+                        deleteInObstacle=False)
+        mapPartsToMAC(vel=vel, flags=flags, velOld=velOld, parts=pp,
+                      partVel=pVel, weight=tmpVec3)
+        extrapolateMACFromWeight(vel=vel, distance=2, weight=tmpVec3)
+        markFluidCells(parts=pp, flags=flags)
+
+        mapPartsToGrid(target=dens, flags=flags, parts=pp, source=pDens)
+
+        addGravity(flags=flags, vel=vel, gravity=(0, -0.003, 0))
+
+        setWallBcs(flags=flags, vel=vel)
+        solvePressure(flags=flags, vel=vel, pressure=pressure)
+        setWallBcs(flags=flags, vel=vel)
+
+        extrapolateMACSimple(flags=flags, vel=vel)
+
+        flipVelocityUpdate(vel=vel, velOld=velOld, flags=flags, parts=pp,
+                           partVel=pVel, flipRatio=0.97)
+        s.step()
+
+    dtg("dens", dens, 0.0001)
+    dtg("vel", vel, 0.001)
