@@ -90,6 +90,23 @@ def marching_tets(phi: np.ndarray, iso: float = 0.0):
     if not tris_out:
         return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
     soup = np.concatenate(tris_out, axis=0)  # (T,3,3)
+    # orient every triangle so its normal points along grad(phi) (outward,
+    # phi increasing) — the reference MC winding convention that meshSDF's
+    # point-normal distances rely on
+    cen = soup.mean(axis=1)
+    gx = np.clip(cen[:, 0] - 0.5, 0, sx - 1.001)
+    gy = np.clip(cen[:, 1] - 0.5, 0, sy - 1.001)
+    gz = np.clip(cen[:, 2] - 0.5, 0, sz - 1.001)
+    i0 = gx.astype(np.int64); j0 = gy.astype(np.int64)
+    k0 = gz.astype(np.int64)
+    i1 = np.minimum(i0 + 1, sx - 1); j1 = np.minimum(j0 + 1, sy - 1)
+    k1 = np.minimum(k0 + 1, sz - 1)
+    grad = np.stack([phi[k0, j0, i1] - phi[k0, j0, i0],
+                     phi[k0, j1, i0] - phi[k0, j0, i0],
+                     phi[k1, j0, i0] - phi[k0, j0, i0]], axis=1)
+    nrm = np.cross(soup[:, 1] - soup[:, 0], soup[:, 2] - soup[:, 0])
+    flip = (nrm * grad).sum(axis=1) < 0
+    soup[flip] = soup[flip][:, ::-1]
     # weld vertices (quantized) into an indexed mesh
     flat = soup.reshape(-1, 3)
     key = np.round(flat * 1e4).astype(np.int64)

@@ -35,6 +35,14 @@ class Shape:
     def sdf(self, px, py, pz):
         raise NotImplementedError
 
+    def get_center(self):
+        """Shape::getCenter (shapes.h:41)."""
+        return getattr(self, "center", (0.0, 0.0, 0.0))
+
+    def get_extent(self):
+        """Shape::getExtent (shapes.h:43)."""
+        return (0.0, 0.0, 0.0)
+
     # -- grid-level helpers -------------------------------------------------
     def inside_grid(self, dom: Domain):
         px, py, pz = _cell_centers(dom)
@@ -107,6 +115,9 @@ class Box(Shape):
         self.p0 = tuple(ci - h for ci, h in zip(c, half))
         self.p1 = tuple(ci + h for ci, h in zip(c, half))
 
+    def get_extent(self):
+        return tuple(b - a for a, b in zip(self.p0, self.p1))
+
     def is_inside(self, px, py, pz):
         m = ((px >= self.p0[0]) & (px <= self.p1[0])
              & (py >= self.p0[1]) & (py <= self.p1[1]))
@@ -136,6 +147,9 @@ class Sphere(Shape):
         self.radius = float(radius)
         self.scale = tuple(scale)
 
+    def get_extent(self):
+        return (2.0 * self.radius,) * 3
+
     def is_inside(self, px, py, pz):
         dx = (px - self.center[0]) / self.scale[0]
         dy = (py - self.center[1]) / self.scale[1]
@@ -156,6 +170,10 @@ class Cylinder(Shape):
         n = math.sqrt(z[0] ** 2 + z[1] ** 2 + z[2] ** 2)
         self.maxz = n  # half-height (|z|), as Cylinder ctor normalizes
         self.zdir = tuple(c / n for c in z) if n > 0 else (0.0, 0.0, 1.0)
+
+    def get_extent(self):
+        e = 2.0 * math.sqrt(self.maxz ** 2 + self.radius ** 2)
+        return (e, e, e)
 
     def _decompose(self, px, py, pz):
         dx = px - self.center[0]

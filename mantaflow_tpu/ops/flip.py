@@ -213,14 +213,30 @@ def particle_counts(parts: Particles, dom: Domain, ptype=None,
 
 
 def mark_fluid_cells(parts: Particles, flags, dom: Domain, ptype=None,
-                     exclude: int = 0):
+                     exclude: int = 0, phi_obs=None):
     """markFluidCells (flip.cpp:166-190): clear fluid flags, re-mark cells
-    containing particles."""
+    containing particles; with phiObs, additionally run knSetNbObstacle
+    (flip.cpp:149-164) — empty cells inside the obstacle band (phiObs<=0)
+    that sit between a fluid neighbor on one side and obstacle interior on
+    the opposite side become fluid (second-order obstacle BCs)."""
     cleared = jnp.where(fl.is_fluid(flags),
                         (flags | fl.TypeEmpty) & ~fl.TypeFluid, flags)
     occupied = particle_counts(parts, dom, ptype, exclude) > 0
     mark = occupied & fl.is_empty(cleared)
-    return jnp.where(mark, (cleared | fl.TypeFluid) & ~fl.TypeEmpty, cleared)
+    flags = jnp.where(mark, (cleared | fl.TypeFluid) & ~fl.TypeEmpty, cleared)
+    if phi_obs is not None:
+        from ..core.masks import interior_mask, shift
+        fluid = fl.is_fluid(flags)
+        obs_in = phi_obs <= 0.0
+        set_nb = jnp.zeros(dom.shape, bool)
+        axes = ["x", "y"] + (["z"] if dom.is3d else [])
+        for ax in axes:
+            set_nb = set_nb | (shift(fluid, -1, ax) & shift(obs_in, 1, ax))
+            set_nb = set_nb | (shift(fluid, 1, ax) & shift(obs_in, -1, ax))
+        hit = (interior_mask(dom, 1) & (phi_obs <= 0.0)
+               & fl.is_empty(flags) & set_nb)
+        flags = jnp.where(hit, (flags | fl.TypeFluid) & ~fl.TypeEmpty, flags)
+    return flags
 
 
 def mark_isolated_fluid_cell(flags, dom: Domain, mark: int):

@@ -369,8 +369,14 @@ class LevelsetGrid(RealGrid):
     def join(self, other):
         self.data = jnp.minimum(self.data, other.data)
 
-    def subtract(self, other):
-        self.data = jnp.maximum(self.data, -other.data)
+    def subtract(self, other, flags=None, subtractType=None):
+        """KnSubtract (levelset.cpp:114): where other<0 overwrite with
+        -other; NOT a CSG max(a,-b) — cells outside `other` keep their
+        value (the reference comment: 'does not preserve SDF')."""
+        mask = other.data < 0.0
+        if flags is not None and subtractType is not None:
+            mask = mask & ((flags.data & subtractType) != 0)
+        self.data = jnp.where(mask, -other.data, self.data)
 
     def initFromFlags(self, flags, ignore_walls: bool = False):
         inside = fl.is_fluid(flags.data)

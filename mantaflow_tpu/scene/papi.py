@@ -415,7 +415,8 @@ def markFluidCells(parts: BasicParticleSystem, flags: FlagGrid, phiObs=None,
                    ptype=None, exclude: int = 0):
     flags.data = fo.mark_fluid_cells(
         parts.parts, flags.data, flags.dom,
-        ptype.data if ptype is not None else None, exclude)
+        ptype.data if ptype is not None else None, exclude,
+        phiObs.data if phiObs is not None else None)
 
 
 def markIsolatedFluidCell(flags: FlagGrid, mark: int):

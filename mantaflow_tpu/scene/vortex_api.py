@@ -68,8 +68,34 @@ def VPseedK41(system: VortexParticleSystem, shape, strength: float = 0.0,
     system.sigma = np.concatenate([system.sigma, sig])
 
 
+#: process-level statics mirroring the reference's C++ function statics
+#: (turbulencepart.cpp:58 `static RandomStream rand(34894231)`, :117-118
+#: `static Real ctime; static Vec3 inflow`). reset_process_statics()
+#: emulates a fresh process (the reference runs one scene per process).
+_turb_statics = {"stream": None, "ctime": 0.0, "inflow": None}
+
+
+def reset_process_statics():
+    _turb_statics["stream"] = None
+    _turb_statics["ctime"] = 0.0
+    _turb_statics["inflow"] = None
+
+
+def _hsv2rgb_scalar(h: float, s: float, v: float):
+    """hsv2rgb (turbulencepart.cpp:34-54)."""
+    i = int(h * 6)
+    f = h * 6 - i
+    p = v * (1 - s)
+    q = v * (1 - f * s)
+    t = v * (1 - (1 - f) * s)
+    return [(v, t, p), (q, v, p), (p, v, t),
+            (p, q, v), (t, p, v), (v, p, q)][i % 6]
+
+
 class TurbulenceParticleSystem:
-    """Synthesized-turbulence tracers (turbulencepart.h:35-42)."""
+    """Synthesized-turbulence tracers (turbulencepart.h:35-42,
+    turbulencepart.cpp) with the reference's exact static RNG stream and
+    static synthesize-time state."""
 
     def __init__(self, solver: Solver = None, noise=None,
                  name: str = "", parent: Solver = None):
@@ -87,23 +113,30 @@ class TurbulenceParticleSystem:
     pySize = size
 
     def seed(self, shape, num: int):
-        rng = np.random.RandomState(34894231 + self.size())
-        pts = []
-        dom = self.solver.domain
-        sz, sy, sx = dom.shape
-        while len(pts) < num:
-            cand = rng.rand(num * 2, 3) * np.array([sx, sy, sz])
-            inside = np.asarray(shape.shape.is_inside(
-                jnp.asarray(cand[:, 0]), jnp.asarray(cand[:, 1]),
-                jnp.asarray(cand[:, 2])))
-            pts.extend(cand[inside].tolist())
-        pts = np.asarray(pts[:num], np.float32)
-        z = pts[:, 2] / max(sz, 1)
-        col = np.asarray(vx.hsv2rgb(jnp.asarray(z), 0.75, 1.0))
+        """seed (turbulencepart.cpp:57-68): rejection-sample the shape's
+        bounding box with the persistent RandomStream(34894231)."""
+        from ..utils.mtrand import RandomStream
+        if _turb_statics["stream"] is None:
+            _turb_statics["stream"] = RandomStream(34894231)
+        stream = _turb_statics["stream"]
+        core = shape.shape
+        ext = np.asarray(core.get_extent(), np.float32)
+        p0 = np.asarray(core.get_center(), np.float32) - ext * 0.5
+        pts = np.empty((num, 3), np.float32)
+        cols = np.empty((num, 3), np.float32)
+        for i in range(num):
+            while True:
+                p = stream.get_vec3s(1)[0] * ext + p0
+                if bool(core.is_inside(float(p[0]), float(p[1]),
+                                       float(p[2]))):
+                    break
+            pts[i] = p
+            z = (p[2] - p0[2]) / ext[2] if ext[2] != 0 else 0.0
+            cols[i] = _hsv2rgb_scalar(float(z), 0.75, 1.0)
         self.pos = np.concatenate([self.pos, pts])
         self.tex0 = np.concatenate([self.tex0, pts.copy()])
         self.tex1 = np.concatenate([self.tex1, pts.copy()])
-        self.color = np.concatenate([self.color, col.astype(np.float32)])
+        self.color = np.concatenate([self.color, cols])
 
     def resetTexCoords(self, num: int, inflow):
         off = np.asarray(inflow, np.float32)
@@ -112,6 +145,38 @@ class TurbulenceParticleSystem:
         else:
             self.tex1 = self.pos - off
 
+    def synthesize(self, flags: FlagGrid, k: RealGrid, octaves: int = 2,
+                   switchLength: float = 10.0, L0: float = 0.1,
+                   scale: float = 1.0, inflowBias=(0.0, 0.0, 0.0)):
+        """synthesize (turbulencepart.cpp:113-131): static ctime/inflow,
+        tex resets at the hat-function wrap points, alpha pinned to 1.0
+        (reference line `alpha = 1.0`), kmin = 1.5*0.1^2."""
+        dt = self.solver.timestep
+        if _turb_statics["inflow"] is None:
+            _turb_statics["inflow"] = np.zeros(3, np.float32)
+        _turb_statics["inflow"] = (_turb_statics["inflow"]
+                                   + np.asarray(inflowBias, np.float32) * dt)
+        ctime = _turb_statics["ctime"]
+        old_alpha = 2.0 * ((ctime / switchLength) % 1.0)
+        ctime += dt
+        _turb_statics["ctime"] = ctime
+        alpha = 2.0 * ((ctime / switchLength) % 1.0)
+        if old_alpha < 1.0 <= alpha:
+            self.resetTexCoords(0, _turb_statics["inflow"])
+        if old_alpha > alpha:
+            self.resetTexCoords(1, _turb_statics["inflow"])
+        alpha = 1.0  # the reference pins alpha after the resets
+
+        dom = self.solver.domain
+        pos, t0, t1 = vx.synthesize_turbulence(
+            jnp.asarray(self.pos), jnp.asarray(self.tex0),
+            jnp.asarray(self.tex1), flags.data, k.data, self.noise._n, dom,
+            alpha, dt, octaves, scale, 1.0 / L0, 1.5 * 0.1 ** 2)
+        self.pos = np.asarray(pos)
+        self.tex0 = np.asarray(t0)
+        self.tex1 = np.asarray(t1)
+
+    # legacy spelling kept for existing tests; explicit alpha/kmin override
     def synthesizeTurbulence(self, flags: FlagGrid, k: RealGrid, octaves: int,
                              switchLength: float = 10.0, L0: float = 0.1,
                              scale: float = 1.0, inflowBias=None,
@@ -132,16 +197,14 @@ class TurbulenceParticleSystem:
 
     def advectInGrid(self, flags: FlagGrid, vel: MACGrid,
                      integrationMode: int = 2):
+        # generic ParticleSystem::advectInGrid — positions only, the
+        # texcoords are moved by synthesize()'s noise step instead
         from ..core import particles as cp
         parts = cp.make_particles(self.pos, capacity=max(self.size(), 1))
         parts = cp.advect_in_grid(parts, flags.data, vel.data,
                                   self.solver.timestep, self.solver.domain,
                                   integrationMode, delete_in_obstacle=False)
-        new = np.asarray(parts.pos[:self.size()])
-        delta = new - self.pos
-        self.pos = new
-        self.tex0 = self.tex0 + delta
-        self.tex1 = self.tex1 + delta
+        self.pos = np.asarray(parts.pos[:self.size()])
 
     def deleteInObstacle(self, flags: FlagGrid):
         dom = self.solver.domain

@@ -1,0 +1,114 @@
+"""Advection symmetry invariance (2D+3D, all axis directions) vs
+reference-binary goldens. Compact port of tools/tests/test_2005_symmAdv.py:
+swirl-free box impulse + pressure solve, symmetrized fields advected with
+MacCormack clampMode=1 past a centered obstacle; the recorded goldens are
+the symmetry-ERROR grids (near zero on both sides).
+"""
+from mantaflow_tpu import *
+
+dirsSymm = [0, 2, 1, 2, 1, 0]
+dirsVel = [vec3(0, 2, 0), vec3(0, -2, 0),
+           vec3(2, 0, 0), vec3(-2, 0, 0),
+           vec3(0, 0, 2), vec3(0, 0, -2)]
+
+
+def scene(dtg):
+    steps = 5
+    errThresh = 1e-05
+
+    for dim in range(2, 4):
+        res = 34
+        gs = vec3(res, res, 1 if dim == 2 else res)
+        s = Solver(name='main', gridSize=gs, dim=dim)
+        s.timestep = 1.0
+        accuracy = 1e-3
+
+        errR1 = s.create(RealGrid)
+        errV1 = s.create(RealGrid)
+        errR2 = s.create(RealGrid)
+        errV2 = s.create(RealGrid)
+
+        flags = s.create(FlagGrid)
+        vel = s.create(MACGrid)
+        rhs = s.create(RealGrid)
+        phi = s.create(LevelsetGrid)
+        pressure = s.create(RealGrid)
+
+        drop = s.create(Sphere, center=gs * vec3(0.5, 0.5, 0.5),
+                        radius=res * 0.25)
+
+        for symms in range(2 * dim):
+            flags.initDomain(boundaryWidth=0)
+            vel.setConst(vec3(0, 0, 0))
+            errR1.setConst(0)
+            errV1.setConst(0)
+            pressure.setConst(0)
+            rhs.setConst(0)
+            phi.setConst(1e10)
+            phi.join(drop.computeLevelset())
+
+            fvOffsetZ = 1.25 if dim == 2 else 0.0
+
+            flags.fillGrid()
+            vel.setConst(vec3(0, 0, 0))
+
+            dir1 = dirsSymm[symms - (symms % 2) + 0]
+            dir2 = dirsSymm[symms - (symms % 2) + 1]
+            velDir = dirsVel[symms]
+
+            fluidVel = s.create(Box,
+                                p0=gs * vec3(0.30, 0.30, 0.30 - fvOffsetZ),
+                                p1=gs * vec3(0.70, 0.70, 0.70 + fvOffsetZ))
+            fluidVel.applyToGrid(grid=vel, value=velDir)
+            solvePressure(flags=flags, vel=vel, pressure=pressure,
+                          cgMaxIterFac=99., cgAccuracy=accuracy, retRhs=rhs)
+
+            checkSymmetry(a=pressure, err=errR1, axis=dir1)
+            checkSymmetryVec3(a=vel, err=errV1, axis=dir1)
+            checkSymmetry(a=pressure, symmetrize=True, axis=dir1)
+            checkSymmetryVec3(a=vel, symmetrize=True, axis=dir1)
+            checkSymmetry(a=pressure, err=errR1, axis=dir1)
+            checkSymmetryVec3(a=vel, err=errV1, axis=dir1)
+
+            if dim == 3:
+                checkSymmetry(a=pressure, symmetrize=True, axis=dir2)
+                checkSymmetryVec3(a=vel, symmetrize=True, axis=dir2)
+                checkSymmetry(a=pressure, err=errR2, axis=dir2)
+                checkSymmetryVec3(a=vel, err=errV2, axis=dir2)
+
+            obsBox = s.create(Box,
+                              p0=gs * vec3(0.4, 0.4, 0.4 - fvOffsetZ),
+                              p1=gs * vec3(0.6, 0.6, 0.6 + fvOffsetZ))
+            obsBox.applyToGrid(grid=flags, value=FlagObstacle)
+
+            for t in range(steps):
+                checkSymmetry(a=phi, symmetrize=True, axis=dir1)
+                if dim == 3:
+                    checkSymmetry(a=phi, symmetrize=True, axis=dir2)
+                phi.setBoundNeumann(0)
+                advectSemiLagrange(flags=flags, vel=vel, grid=phi, order=2,
+                                   clampMode=1)
+                checkSymmetry(a=phi, err=errR1, axis=dir1)
+                if dim == 3:
+                    checkSymmetry(a=phi, err=errR2, axis=dir2)
+                s.step()
+
+            dtg("errr1-%d-%d" % (dim, symms), errR1, errThresh)
+            if dim == 3:
+                dtg("errr2-%d-%d" % (dim, symms), errR2, errThresh)
+
+            for t in range(steps):
+                phi.setBoundNeumann(0)
+                checkSymmetryVec3(a=vel, symmetrize=True, axis=dir1)
+                if dim == 3:
+                    checkSymmetryVec3(a=vel, symmetrize=True, axis=dir2)
+                advectSemiLagrange(flags=flags, vel=vel, grid=vel, order=2,
+                                   clampMode=1)
+                checkSymmetryVec3(a=vel, err=errV1, axis=dir1)
+                if dim == 3:
+                    checkSymmetryVec3(a=vel, err=errV2, axis=dir2)
+                s.step()
+
+            dtg("errv1-%d-%d" % (dim, symms), errV1, errThresh)
+            if dim == 3:
+                dtg("errv2-%d-%d" % (dim, symms), errV2, errThresh)

@@ -1,0 +1,45 @@
+"""Free surface with ghost-fluid boundaries (drop into basin, 3D) vs
+reference-binary goldens. Compact port of
+tools/tests/test_2050_freesurface.py: 50 frames of reinit + advect +
+ghost-fluid pressure projection.
+"""
+from mantaflow_tpu import *
+
+
+def scene(dtg):
+    dim, res, frames = 3, 52, 50
+    gs = vec3(res, res, res)
+    s = Solver(name='main', gridSize=gs, dim=dim)
+    s.timestep = 0.25
+    accuracy = 5e-5
+
+    flags = s.create(FlagGrid)
+    vel = s.create(MACGrid)
+    pressure = s.create(RealGrid)
+
+    flags.initDomain(boundaryWidth=0)
+    basin = s.create(Box, p0=gs * vec3(0, 0, 0), p1=gs * vec3(1, 0.2, 1))
+    drop = s.create(Sphere, center=gs * vec3(0.5, 0.5, 0.5),
+                    radius=res * 0.15)
+    phi = basin.computeLevelset()
+    phi.join(drop.computeLevelset())
+    flags.updateFromLevelset(phi)
+
+    for t in range(frames):
+        phi.reinitMarching(flags=flags, velTransport=vel)
+        advectSemiLagrange(flags=flags, vel=vel, grid=phi, order=2,
+                           clampMode=1)
+        flags.updateFromLevelset(phi)
+
+        advectSemiLagrange(flags=flags, vel=vel, grid=vel, order=2,
+                           clampMode=1)
+        addGravity(flags=flags, vel=vel, gravity=vec3(0, -0.025, 0))
+
+        setWallBcs(flags=flags, vel=vel)
+        solvePressure(flags=flags, vel=vel, pressure=pressure,
+                      cgMaxIterFac=0.5, cgAccuracy=accuracy, phi=phi)
+        setWallBcs(flags=flags, vel=vel)
+        s.step()
+
+    dtg("phi", phi, 1e-07)
+    dtg("vel", vel, 1e-07)

@@ -1,0 +1,117 @@
+"""Surface-turbulence wave layer (falling drop) vs reference-binary
+goldens. Compact port of tools/tests/test_2100_surfTurb.py: FLIP base sim
+plus particleSurfaceTurbulence fine-surface maintenance; the displaced
+surface points are rasterized to a grid for the 'surf' check.
+"""
+from mantaflow_tpu import *
+
+
+def scene(dtg):
+    dim, res = 3, 18
+    gs = vec3(res, res, res)
+    s = Solver(name='main', gridSize=gs, dim=dim)
+    s.timestep = 0.8
+    minParticles = pow(2, dim)
+    radiusFactor = 1.0
+
+    flags = s.create(FlagGrid)
+    vel = s.create(MACGrid)
+    velOld = s.create(MACGrid)
+    pressure = s.create(RealGrid)
+    tmpVec3 = s.create(VecGrid)
+    tmpReal = s.create(RealGrid)
+
+    surfacePointsDisplaced = s.create(BasicParticleSystem)
+    spdDummy = surfacePointsDisplaced.create(PdataVec3)
+
+    pp = s.create(BasicParticleSystem)
+    pVel = pp.create(PdataVec3)
+    pPrevPos = pp.create(PdataVec3)
+
+    surfacePoints = s.create(BasicParticleSystem)
+    surfaceNormal = surfacePoints.create(PdataVec3)
+    surfaceWaveH = surfacePoints.create(PdataReal)
+    surfaceWaveDtH = surfacePoints.create(PdataReal)
+    surfaceWaveSource = surfacePoints.create(PdataReal)
+    surfaceWaveSeedAmplitude = surfacePoints.create(PdataReal)
+    surfaceWaveSeed = surfacePoints.create(PdataReal)
+
+    pindex = s.create(ParticleIndexSystem)
+    gpi = s.create(IntGrid)
+
+    flags.initDomain(boundaryWidth=1)
+
+    fluidBasin = s.create(Box, p0=gs * vec3(0, 0, 0),
+                          p1=gs * vec3(1.0, 0.2, 1.0))
+    dropCenter = vec3(0.5, 0.4, 0.5)
+    dropRadius = 0.1
+    fluidDrop = s.create(Sphere, center=gs * dropCenter,
+                         radius=res * dropRadius)
+    phi = fluidBasin.computeLevelset()
+    phi.join(fluidDrop.computeLevelset())
+
+    flags.updateFromLevelset(phi)
+    sampleLevelsetWithParticles(phi=phi, flags=flags, parts=pp,
+                                discretization=2, randomness=0.35)
+
+    spdDummy2 = surfacePointsDisplaced.create(PdataReal)
+    dummyFlags = s.create(FlagGrid)
+    dummyFlags.initDomain(boundaryWidth=1)
+
+    while s.frame < 30:
+        pp.advectInGrid(flags=flags, vel=vel, integrationMode=IntRK4,
+                        deleteInObstacle=False)
+        mapPartsToMAC(vel=vel, flags=flags, velOld=velOld, parts=pp,
+                      partVel=pVel, weight=tmpVec3)
+        extrapolateMACFromWeight(vel=vel, distance=2, weight=tmpVec3)
+        markFluidCells(parts=pp, flags=flags)
+
+        gridParticleIndex(parts=pp, flags=flags, indexSys=pindex, index=gpi)
+        unionParticleLevelset(pp, pindex, flags, gpi, phi, radiusFactor=1.)
+        resetOutflow(flags=flags, parts=pp, index=gpi, indexSys=pindex)
+        extrapolateLsSimple(phi=phi, distance=4, inside=True)
+
+        addGravity(flags=flags, vel=vel, gravity=(0, -0.001, 0))
+        setWallBcs(flags=flags, vel=vel)
+        solvePressure(flags=flags, vel=vel, pressure=pressure, phi=phi)
+        setWallBcs(flags=flags, vel=vel)
+
+        pVel.setSource(vel, isMAC=True)
+        adjustNumber(parts=pp, vel=vel, flags=flags,
+                     minParticles=1 * minParticles,
+                     maxParticles=2 * minParticles, phi=phi, radiusFactor=1.)
+
+        extrapolateMACSimple(flags=flags, vel=vel)
+        flipVelocityUpdate(vel=vel, velOld=velOld, flags=flags, parts=pp,
+                           partVel=pVel, flipRatio=0.97)
+
+        particleSurfaceTurbulence(
+            flags=flags, coarseParts=pp, coarsePartsPrevPos=pPrevPos,
+            surfPoints=surfacePoints, surfaceNormals=surfaceNormal,
+            surfaceWaveH=surfaceWaveH, surfaceWaveDtH=surfaceWaveDtH,
+            surfacePointsDisplaced=surfacePointsDisplaced,
+            surfaceWaveSource=surfaceWaveSource,
+            surfaceWaveSeed=surfaceWaveSeed,
+            surfaceWaveSeedAmplitude=surfaceWaveSeedAmplitude, res=res,
+            nbSurfaceMaintenanceIterations=4,
+            surfaceDensity=15,
+            dt=0.005,
+            waveSpeed=res,
+            waveDamping=0.1,
+            waveSeedFrequency=4.0,
+            waveMaxAmplitude=0.5,
+            waveMaxFrequency=128.0,
+            waveSeedingCurvatureThresholdRegionCenter=0.025,
+            waveSeedingCurvatureThresholdRegionRadius=0.01,
+            waveSeedStepSizeRatioOfMax=0.05)
+
+        spdDummy.setConst(vec3(1, 1, 1))
+        spdDummy2.setConst(0.1)
+        dummyFlags.setConst(FlagFluid)
+        mapPartsToGrid(target=tmpReal, flags=dummyFlags,
+                       parts=surfacePointsDisplaced, source=spdDummy2)
+        s.step()
+
+    dtg("phi", phi, 1e-07)
+    dtg("vel", vel, 1e-07)
+    dtg("surf", tmpReal, 1e-07)
