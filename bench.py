@@ -1,13 +1,15 @@
-"""Benchmark: smoke sim steps/sec at 128^3 on one TPU chip.
+"""Benchmark: smoke (128^3) + FLIP dam (64^3) steps/sec on one TPU chip.
 
-Mirrors the reference north-star config (BASELINE.md): 3D buoyant plume at
-128^3 with MacCormack advection, vorticity confinement, and CG pressure
-projection to 1e-3 — the same op sequence as scenes/simpleplume.py scaled up.
+Mirrors the reference north-star configs (BASELINE.md): the 3D buoyant
+plume at 128^3 (MacCormack + vorticity confinement + CG 1e-3) and the
+64^3 FLIP breaking dam (flip01 pattern, discretization 2, RK4, 0.97
+blend) — the exact configs measured for the C++ reference in
+BASELINE_CPU.json.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is measured steps/sec divided by the reference-CPU steps/sec
-recorded in BASELINE_CPU.json (written by tools/measure_reference.py after
-building the C++ reference); 0.0 until that baseline is measured.
+Prints one JSON line per benchmark; the LAST line is the headline smoke
+metric the driver records. vs_baseline divides by the reference's
+multicore-extrapolated steps/sec (single-core measurement x11 ~= 16 cores
+at 70% OpenMP scaling; see BASELINE_CPU.json) — the honest denominator.
 """
 
 import json
@@ -16,6 +18,53 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_baseline():
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BASELINE_CPU.json")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            return json.load(f)
+    return {}
+
+
+def bench_flip():
+    """FLIP dam at 64^3 (BASELINE_CPU.json flip64 config)."""
+    import jax
+
+    from mantaflow_tpu.core.domain import Domain
+    from mantaflow_tpu.models import flip
+
+    res = int(os.environ.get("BENCH_FLIP_RES", "64"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "10"))
+
+    dom = Domain(size=(res, res, res), dim=3)
+    params = flip.FlipParams(gravity=(0.0, -0.003, 0.0), ghost_fluid=True,
+                             cg_accuracy=1e-3)
+    state = flip.make_dam_state(dom, params, discretization=2)
+
+    step = jax.jit(lambda s: flip.flip_step(s, dom, params))
+    state = step(state)
+    float(state.vel.sum())  # sync
+
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state = step(state)
+    float(state.vel.sum())
+    dt = time.perf_counter() - t0
+    steps_per_sec = n_steps / dt
+
+    rec = _load_baseline()
+    baseline = rec.get("flip64_steps_per_sec_multicore_est", 0.0)
+    print(json.dumps({
+        "metric": f"FLIP dam steps/sec @ {res}^3 (~{int(state.parts.capacity/1000)}k"
+                  " particles, RK4+p2g+CG 1e-3 ghost fluid)"
+                  " vs 16-core-CPU reference estimate",
+        "value": round(steps_per_sec, 4),
+        "unit": "steps/sec",
+        "vs_baseline": round(steps_per_sec / baseline, 3) if baseline else 0.0,
+    }), flush=True)
 
 
 def main():
@@ -60,18 +109,13 @@ def main():
 
     steps_per_sec = n_steps / dt
 
-    baseline = 0.0
-    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BASELINE_CPU.json")
-    if os.path.exists(base_path):
-        with open(base_path) as f:
-            rec = json.load(f)
-        # honest comparison point: the multicore-extrapolated reference
-        # (this host exposes one CPU core; a 16-core box at ~70% OpenMP
-        # scaling reaches ~11x single core — see BASELINE_CPU.json notes).
-        baseline = rec.get("smoke128_steps_per_sec_multicore_est", 0.0)
-        if not baseline:
-            baseline = rec.get("smoke128_steps_per_sec", 0.0) * 11.0
+    # honest comparison point: the multicore-extrapolated reference
+    # (this host exposes one CPU core; a 16-core box at ~70% OpenMP
+    # scaling reaches ~11x single core — see BASELINE_CPU.json notes).
+    rec = _load_baseline()
+    baseline = rec.get("smoke128_steps_per_sec_multicore_est", 0.0)
+    if not baseline:
+        baseline = rec.get("smoke128_steps_per_sec", 0.0) * 11.0
 
     print(json.dumps({
         "metric": f"smoke sim steps/sec @ {res}^3 (MacCormack+vconf+CG 1e-3)"
@@ -79,8 +123,10 @@ def main():
         "value": round(steps_per_sec, 4),
         "unit": "steps/sec",
         "vs_baseline": round(steps_per_sec / baseline, 3) if baseline else 0.0,
-    }))
+    }), flush=True)
 
 
 if __name__ == "__main__":
+    if os.environ.get("BENCH_SKIP_FLIP", "") != "1":
+        bench_flip()
     main()

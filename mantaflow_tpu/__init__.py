@@ -28,6 +28,7 @@ from .scene.papi import (
 )
 
 from .scene.ops2 import *  # noqa: F401,F403
+from .scene.zflip_api import *  # noqa: F401,F403
 from .scene.mesh_api import (  # noqa: F401
     Mesh, smoothMesh, subdivideMesh, killSmallComponents,
 )

@@ -49,16 +49,24 @@ def trilerp_gather(data, xi, yi, zi, s1, t1, f1):
     sz, sy, sx = data.shape[-3:]
     base = (zi * sy + yi) * sx + xi
     s0, t0, f0 = 1.0 - s1, 1.0 - t1, 1.0 - f1
-    if sz > 1:
-        w = jnp.stack([f0 * t0 * s0, f0 * t0 * s1, f0 * t1 * s0,
-                       f0 * t1 * s1, f1 * t0 * s0, f1 * t0 * s1,
-                       f1 * t1 * s0, f1 * t1 * s1], axis=-1)
-    else:
-        w = jnp.stack([t0 * s0, t0 * s1, t1 * s0, t1 * s1], axis=-1)
     table = build_corner_table(data)
     flat_base = base.reshape(-1)
     rows = table[flat_base]
-    out = jnp.sum(rows * w.reshape(flat_base.shape[0], -1), axis=-1)
+    shp = flat_base.shape[0]
+    sr0 = s0.reshape(-1); sr1 = s1.reshape(-1)
+    tr0 = t0.reshape(-1); tr1 = t1.reshape(-1)
+    # combine in the reference's exact nested-lerp order (interpol.h:72-84)
+    # — bit-for-bit float parity with the binary; same flop count as the
+    # weight-product form
+    if sz > 1:
+        fr0 = f0.reshape(-1); fr1 = f1.reshape(-1)
+        out = (((rows[:, 0] * tr0 + rows[:, 2] * tr1) * sr0
+                + (rows[:, 1] * tr0 + rows[:, 3] * tr1) * sr1) * fr0
+               + ((rows[:, 4] * tr0 + rows[:, 6] * tr1) * sr0
+                  + (rows[:, 5] * tr0 + rows[:, 7] * tr1) * sr1) * fr1)
+    else:
+        out = ((rows[:, 0] * tr0 + rows[:, 2] * tr1) * sr0
+               + (rows[:, 1] * tr0 + rows[:, 3] * tr1) * sr1)
     return out.reshape(base.shape)
 
 

@@ -126,19 +126,59 @@ class Box(Shape):
         return m
 
     def sdf(self, px, py, pz):
-        # exact euclidean box distance, equal to BoxSDF's case analysis
-        qx = jnp.maximum(px - self.p1[0], self.p0[0] - px)
-        qy = jnp.maximum(py - self.p1[1], self.p0[1] - py)
-        if self.dim == 3:
-            qz = jnp.maximum(pz - self.p1[2], self.p0[2] - pz)
-        else:
-            qz = jnp.full_like(qx, -1e30)  # 2D: z never separates
-        inside = jnp.maximum(qx, jnp.maximum(qy, qz))
-        ox = jnp.maximum(qx, 0.0)
-        oy = jnp.maximum(qy, 0.0)
-        oz = jnp.maximum(qz, 0.0)
-        outside = jnp.sqrt(ox * ox + oy * oy + oz * oz)
-        return jnp.where(inside <= 0.0, inside, outside)
+        """BoxSDF (shapes.cpp:178-229), branch-for-branch: face distances
+        are returned LINEARLY (not sqrt(d^2) — bit-exact vs the binary),
+        edge/corner distances via the same square-sum expressions, and the
+        reference's `p.z > p1.x` typo in the lines-Z guard is kept."""
+        f = jnp.float32
+        p1x, p1y, p1z = (f(self.p0[0]), f(self.p0[1]), f(self.p0[2]))
+        p2x, p2y, p2z = (f(self.p1[0]), f(self.p1[1]), f(self.p1[2]))
+        px = jnp.asarray(px, jnp.float32)
+        py = jnp.asarray(py, jnp.float32)
+        pz = jnp.asarray(pz, jnp.float32)
+        in_x = (px <= p2x) & (px >= p1x)
+        in_y = (py <= p2y) & (py >= p1y)
+        in_z = (pz <= p2z) & (pz >= p1z)
+
+        mx = jnp.maximum(px - p2x, p1x - px)
+        my = jnp.maximum(py - p2y, p1y - py)
+        mz = jnp.maximum(pz - p2z, p1z - pz) if self.dim == 3 else mx
+        v_inside = jnp.maximum(mx, jnp.maximum(my, mz))
+
+        def edge_min(a1, a2, b1, b2):
+            m1 = jnp.sqrt(a1 * a1 + b1 * b1)
+            m2 = jnp.sqrt(a2 * a2 + b1 * b1)
+            m3 = jnp.sqrt(a1 * a1 + b2 * b2)
+            m4 = jnp.sqrt(a2 * a2 + b2 * b2)
+            return jnp.minimum(m1, jnp.minimum(m2, jnp.minimum(m3, m4)))
+
+        dy1, dy2 = p1y - py, p2y - py
+        dz1, dz2 = p1z - pz, p2z - pz
+        dx1, dx2 = p1x - px, p2x - px
+        v_lx = edge_min(dy1, dy2, dz1, dz2)
+        v_ly = edge_min(dx1, dx2, dz1, dz2)
+        v_lz = edge_min(dy1, dy2, dx1, dx2)
+
+        def corner(cx, cy, cz):
+            ddx, ddy, ddz = px - cx, py - cy, pz - cz
+            return jnp.sqrt(ddx * ddx + ddy * ddy + ddz * ddz)
+
+        v_pt = corner(p1x, p1y, p1z)
+        for cx in (p1x, p2x):
+            for cy in (p1y, p2y):
+                for cz in (p1z, p2z):
+                    v_pt = jnp.minimum(v_pt, corner(cx, cy, cz))
+
+        res = v_pt
+        # reference branch priority, innermost-else first
+        res = jnp.where((pz > p1x) & (pz < p2z), v_lz, res)  # (typo kept)
+        res = jnp.where((py > p1y) & (py < p2y), v_ly, res)
+        res = jnp.where((px > p1x) & (px < p2x), v_lx, res)
+        res = jnp.where(in_x & in_y, mz, res)
+        res = jnp.where(in_x & in_z, my, res)
+        res = jnp.where(in_y & in_z, mx, res)
+        res = jnp.where(in_x & in_y & in_z, v_inside, res)
+        return res
 
 
 class Sphere(Shape):

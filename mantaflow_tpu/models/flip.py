@@ -66,8 +66,9 @@ class FlipState:
 def make_dam_state(dom: Domain, params: FlipParams,
                    dam_frac=(0.4, 0.6, 1.0), discretization: int = 2,
                    randomness: float = 0.05, boundary_width: int = 0,
-                   dt: float = 0.5) -> FlipState:
-    """Breaking-dam setup (flip01_simple.py:29-38)."""
+                   dt: float = 0.5, obstacle=None) -> FlipState:
+    """Breaking-dam setup (flip01_simple.py:29-38); optional obstacle shape
+    stamped into the flags (flip06_obstacle.py pattern)."""
     import numpy as np
     from ..core.shapes import Box
 
@@ -77,6 +78,9 @@ def make_dam_state(dom: Domain, params: FlipParams,
                                 sz * dam_frac[2]), dim=dom.dim)
     phi0 = box.compute_levelset(dom)
     flags0 = fl.update_from_levelset(jnp.asarray(flags_np), phi0, 1e10)
+    if obstacle is not None:
+        obs_in = obstacle.inside_grid(dom)
+        flags0 = jnp.where(obs_in, jnp.int32(fl.TypeObstacle), flags0)
     parts = cp.sample_flags_with_particles(np.asarray(flags0), dom,
                                            discretization, randomness)
     n = parts.capacity

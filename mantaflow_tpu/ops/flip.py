@@ -651,11 +651,10 @@ def adjust_number(parts: Particles, vel, flags, dom: Domain,
     dropped, which the reference's unbounded vector never hits; we keep
     1.5x headroom at sampling time).
 
-    Differences from the serial reference, by design: the per-cell overfull
-    cull keeps the lowest-index particles (reference keeps first-come in
-    scan order — same thing for its index-ordered loop), and jitter uses a
-    counter-based PRNG instead of RandomStream (deterministic per call, as
-    the reference's fresh RandomStream(9832) is).
+    The per-cell overfull cull keeps the lowest-index particles (equal to
+    the reference's first-come scan order), and reseeding consumes the
+    exact fresh RandomStream(9832) in FOR_IJK cell order, so seeded
+    positions match the reference binary bit-for-bit.
     """
     import jax
 
@@ -687,7 +686,9 @@ def adjust_number(parts: Particles, vel, flags, dom: Domain,
     rank_sorted = pos_in_sorted - run_start
     rank = jnp.zeros(cap, jnp.int32).at[order].set(rank_sorted)
 
-    overfull = alive1 & ~at_surface & (rank >= max_particles)
+    # reference kill check is `num > maxParticles` with num = survivors so
+    # far — i.e. maxParticles+1 non-surface particles survive per cell
+    overfull = alive1 & ~at_surface & (rank > max_particles)
     alive2 = alive1 & ~overfull
     new_flags = jnp.where(alive & ~alive2, parts.flags | PDELETE, parts.flags)
 
@@ -703,35 +704,40 @@ def adjust_number(parts: Particles, vel, flags, dom: Domain,
     if exclude is not None:
         seed_cell = seed_cell & ~(exclude.reshape(-1) < 0.0)
 
-    # candidates: (min_particles, ncells), slot m valid when cnt+m < min
-    m_idx = jnp.arange(min_particles, dtype=jnp.int32)[:, None]
-    cand_ok = seed_cell[None, :] & (cnt[None, :] + m_idx < min_particles)
-    cand_ok_f = cand_ok.reshape(-1)
-    n_cand_total = min_particles * n
+    # seed positions: pos = cell_ijk + RandomStream(9832).getVec3() — a
+    # FRESH stream each call, consumed in FOR_IJK cell order with the
+    # per-cell deficit loop inner (flip.cpp:239-257). Host-side numpy so
+    # the draw sequence matches the reference binary exactly.
+    import numpy as onp
+    from ..utils.mtrand import RandomStream
 
-    # candidate positions: cell corner + uniform jitter
-    key = jax.random.PRNGKey(seed)
-    jit3 = jax.random.uniform(key, (min_particles, n, 3), jnp.float32)
-    cz, cy, cx = jnp.unravel_index(jnp.arange(n), dom.shape)
-    cand_pos = jnp.stack([
-        cx[None, :] + jit3[:, :, 0],
-        cy[None, :] + jit3[:, :, 1],
-        (cz[None, :] + jit3[:, :, 2]) if dom.is3d
-        else jnp.full((min_particles, n), 0.5),
-    ], axis=-1).reshape(n_cand_total, 3).astype(jnp.float32)
+    k_def = onp.where(onp.asarray(seed_cell),
+                      onp.maximum(0, min_particles - onp.asarray(cnt)), 0)
+    cells = onp.nonzero(k_def)[0]
+    counts = k_def[cells]
+    total = int(counts.sum())
+    draws = RandomStream(seed).get_vec3s(total) if total else \
+        onp.zeros((0, 3), onp.float32)
+    cell_ids = onp.repeat(cells, counts)
+    czn, cyn, cxn = onp.unravel_index(cell_ids, dom.shape)
+    cand_np = onp.stack([cxn, cyn, czn], axis=1).astype(onp.float32) + draws
+    if not dom.is3d:
+        cand_np[:, 2] = 0.5
+    cand_pos = jnp.asarray(cand_np)
 
     # stream-compact candidates into dead slots
     dead = ~alive2 | (idx >= parts.count)
     dead_slots = jnp.nonzero(dead, size=cap, fill_value=cap)[0]
-    cand_ids = jnp.nonzero(cand_ok_f, size=cap, fill_value=n_cand_total)[0]
     n_dead = jnp.sum(dead)
-    n_cand = jnp.sum(cand_ok_f)
     r = jnp.arange(cap, dtype=jnp.int32)
-    valid = (r < n_dead) & (r < n_cand)
+    valid = (r < n_dead) & (r < total)
     tgt = jnp.where(valid, dead_slots, cap)  # cap => dropped by mode="drop"
-    src = jnp.clip(cand_ids, 0, n_cand_total - 1)
-    new_pos = parts.pos.at[tgt].set(cand_pos[src], mode="drop")
-    new_flags = new_flags.at[tgt].set(PNEW, mode="drop")
+    src = jnp.clip(r, 0, max(total - 1, 0))
+    if total:
+        new_pos = parts.pos.at[tgt].set(cand_pos[src], mode="drop")
+        new_flags = new_flags.at[tgt].set(PNEW, mode="drop")
+    else:
+        new_pos = parts.pos
 
     import dataclasses
     return dataclasses.replace(parts, pos=new_pos, flags=new_flags,

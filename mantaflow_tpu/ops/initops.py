@@ -54,13 +54,95 @@ def apply_emission(flags, target, source, dom: Domain, emission_texture=None,
     return jnp.where(ok, target + source, target)
 
 
-def check_symmetry(arr, dom: Domain, axis: int = 0, bound: int = 0):
-    """Max asymmetry of a scalar grid when mirrored along `axis`
-    (checkSymmetry, initplugins.cpp:189). Returns a scalar."""
+def _axis_index_grid(dom: Domain, jax_axis: int):
+    n = dom.shape[jax_axis]
+    shp = [1, 1, 1]
+    shp[jax_axis] = n
+    return jnp.broadcast_to(jnp.arange(n).reshape(shp), dom.shape)
+
+
+def _inbounds_mask(dom: Domain, bound: int, jax_axis: int, midx=None):
+    """isInBounds(idx,bound) for all cells; with `midx` the mirrored
+    coordinate along jax_axis replaces the cell's own."""
+    sz, sy, sx = dom.shape
+    ok = jnp.ones(dom.shape, bool)
+    for ax, n in ((0, sz), (1, sy), (2, sx)):
+        if not dom.is3d and ax == 0:
+            continue  # reference isInBounds checks z only in 3D
+        idx = midx if (midx is not None and ax == jax_axis) \
+            else _axis_index_grid(dom, ax)
+        ok = ok & (idx >= bound) & (idx < n - bound)
+    return ok
+
+
+def check_symmetry(arr, dom: Domain, err=None, symmetrize: bool = False,
+                   axis: int = 0, bound: int = 0):
+    """checkSymmetry (initplugins.cpp:189-203): err(idx)=|a(idx)-a(mirror)|
+    where in-bounds; symmetrize copies the upper half onto the lower.
+    Returns (a, err)."""
     jax_axis = {0: 2, 1: 1, 2: 0}[axis]
+    n = dom.shape[jax_axis]
     flipped = jnp.flip(arr, axis=jax_axis)
-    diff = jnp.abs(arr - flipped)
-    return jnp.max(diff)
+    idxc = _axis_index_grid(dom, jax_axis)
+    act = jnp.ones(dom.shape, bool)
+    if bound > 0:
+        act = _inbounds_mask(dom, bound, jax_axis) \
+            & _inbounds_mask(dom, bound, jax_axis, n - 1 - idxc)
+    if err is not None:
+        err = jnp.where(act, jnp.abs(arr - flipped), err)
+    if symmetrize:
+        arr = jnp.where(act & (idxc < n // 2), flipped, arr)
+    return arr, err
+
+
+def check_symmetry_vec3(a, dom: Domain, err=None, symmetrize: bool = False,
+                        axis: int = 0, bound: int = 0, disable: int = 0):
+    """checkSymmetryVec3 (initplugins.cpp:205-270), MAC-aware: the mirror
+    axis component uses the staggered s=size+1 mirror with sign inversion
+    (center line forced to zero); the other two components mirror plainly.
+    err is cleared then accumulated. Returns (a, err)."""
+    jax_axis = {0: 2, 1: 1, 2: 0}[axis]
+    n = dom.shape[jax_axis]
+    c, o1, o2 = axis, (axis + 1) % 3, (axis + 2) % 3
+    if err is not None:
+        err = jnp.zeros_like(err)
+    comps = [a[0], a[1], a[2]]
+    idxc = _axis_index_grid(dom, jax_axis)
+
+    # component c: mdx = size - idx (staggered), skip idx==0
+    if not (disable & 1):
+        mdxc = n - idxc
+        valid = mdxc < n
+        if bound > 0:
+            valid = valid & _inbounds_mask(dom, bound, jax_axis) \
+                & _inbounds_mask(dom, bound, jax_axis, mdxc)
+        # a[c] at mdx along the axis: flip with a one-cell offset
+        gathered = jnp.take(comps[c], jnp.clip(n - jnp.arange(n), 0, n - 1),
+                            axis=jax_axis)
+        center = valid & (mdxc == idxc)
+        off = valid & (mdxc != idxc)
+        if err is not None:
+            err = err + jnp.where(center, jnp.abs(comps[c]), 0.0)
+            err = err + jnp.where(off, jnp.abs(comps[c] + gathered), 0.0)
+        if symmetrize:
+            newc = jnp.where(center, 0.0, comps[c])
+            newc = jnp.where(off & (idxc < (n + 1) // 2), -gathered, newc)
+            comps[c] = newc
+
+    # components o1/o2: plain mirror, s = size
+    for bit, o in ((2, o1), (4, o2)):
+        if disable & bit:
+            continue
+        flipped = jnp.flip(comps[o], axis=jax_axis)
+        act = jnp.ones(dom.shape, bool)
+        if bound > 0:
+            act = _inbounds_mask(dom, bound, jax_axis) \
+                & _inbounds_mask(dom, bound, jax_axis, n - 1 - idxc)
+        if err is not None:
+            err = err + jnp.where(act, jnp.abs(comps[o] - flipped), 0.0)
+        if symmetrize:
+            comps[o] = jnp.where(act & (idxc < n // 2), flipped, comps[o])
+    return jnp.stack(comps), err
 
 
 def _gauss_kernel_1d(sigma: float):

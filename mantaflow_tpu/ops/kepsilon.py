@@ -33,7 +33,12 @@ def _turbulence_clamp(k, eps):
     min_k = 1.5 * keU0 ** 2 * keImin ** 2
     max_k = 1.5 * keU0 ** 2 * keImax ** 2
     ke = jnp.clip(k, min_k, max_k)
-    nu = keCmu * ke ** 2 / jnp.maximum(eps, 1e-30)
+    # divide by RAW eps (KnTurbulenceClamp, kepsilon.cpp:38-49): a negative
+    # eps (gradient diffusion is not unconditionally stable) gives negative
+    # nu -> the nu<minNu branch RESTORES eps = Cmu k^2/minNu; guarding the
+    # division would take the nu>maxNu branch instead and collapse eps by
+    # 5000x, blowing up nuT on the next step (observed on test_2025)
+    nu = keCmu * ke ** 2 / eps
     eps = jnp.where(nu > keNuMax, keCmu * ke ** 2 / keNuMax, eps)
     eps = jnp.where(nu < keNuMin, keCmu * ke ** 2 / keNuMin, eps)
     return ke, eps

@@ -278,12 +278,13 @@ def solve_pressure_system(rhs, flags, dom: Domain, stencil,
         max_iter = int(cg_max_iter_fac * max(dom.size)) * (1 if dom.is3d else 4)
         if preconditioner == PcMIC and x_init is None:
             # the caller sized the budget assuming mIC(0)-preconditioned CG
-            # (reference default); plain CG needs ~4x the iterations for the
-            # same accuracy contract, and iterations are cheap on TPU.
-            # Without this, free-surface solves stop at large residuals and
-            # the ghost-fluid 1/theta correction amplifies them into
-            # velocity blowups (observed on the freesurface scene).
-            max_iter *= 4
+            # (reference default); plain CG needs far more iterations for
+            # the same accuracy contract, and early exit makes extra budget
+            # free when convergence is fast. 4x proved insufficient for
+            # hard free-surface impact solves (test_2050: budget exhausted
+            # at large residual -> ghost-fluid 1/theta amplified it into a
+            # velocity blowup); 12x holds through the reference test set.
+            max_iter *= 12
 
     if precond_apply is None:
         precond_apply = lambda r: r

@@ -68,5 +68,55 @@ def shard_smoke_state(state, mesh: Mesh):
     return jax.tree_util.tree_map(place, state)
 
 
+def particle_spec(mesh: Mesh) -> P:
+    """(N, ...) particle arrays: shard the particle axis over ALL mesh
+    devices (data-parallel particles).
+
+    v1 strategy (SURVEY §2.16): grids are z/y domain-decomposed while
+    particles are N-sharded; GSPMD inserts the p2g partial-grid psums and
+    the g2p grid all-gathers. Cell-block particle placement (sorting
+    particles into the grid shards that own their cells, making p2g/g2p
+    local) is the planned refinement once transfers dominate profiles.
+    """
+    axes = tuple(mesh.axis_names)
+    return P(axes if len(axes) > 1 else axes[0])
+
+
+def shard_flip_state(state, mesh: Mesh):
+    """Place a FlipState on the mesh: grids domain-decomposed (z/y),
+    particle arrays N-sharded, time state replicated."""
+    import dataclasses
+    gs = NamedSharding(mesh, scalar_grid_spec(mesh))
+    ms = NamedSharding(mesh, mac_grid_spec(mesh))
+    rep = NamedSharding(mesh, P())
+    paxes = particle_spec(mesh)
+    p2 = NamedSharding(mesh, P(*([paxes[0]] + [None])))
+    p1 = NamedSharding(mesh, paxes)
+
+    def place_parts(parts):
+        return dataclasses.replace(
+            parts,
+            pos=jax.device_put(parts.pos, p2),
+            flags=jax.device_put(parts.flags, p1),
+            count=jax.device_put(parts.count, rep))
+
+    def place_ts(ts):
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), ts)
+
+    return dataclasses.replace(
+        state,
+        flags=jax.device_put(state.flags, gs),
+        vel=jax.device_put(state.vel, ms),
+        vel_old=jax.device_put(state.vel_old, ms),
+        pressure=jax.device_put(state.pressure, gs),
+        phi=jax.device_put(state.phi, gs),
+        parts=place_parts(state.parts),
+        pvel=jax.device_put(state.pvel, p2),
+        cpx=jax.device_put(state.cpx, p2),
+        cpy=jax.device_put(state.cpy, p2),
+        cpz=jax.device_put(state.cpz, p2),
+        ts=place_ts(state.ts))
+
+
 def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m

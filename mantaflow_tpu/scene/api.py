@@ -264,6 +264,11 @@ class GridBase:
     def clamp(self, vmin, vmax):
         self.data = jnp.clip(self.data, vmin, vmax)
 
+    def clamp_norm(self, max_norm: float):
+        """Grid::clamp_norm (fork, grid.h:191) for Vec3/MAC grids."""
+        from .ops2 import clampNorm
+        clampNorm(self, max_norm)
+
     def getMax(self):
         if self.channels == 3:
             # Grid<Vec3>::getMax = sqrt(max norm^2) (grid.cpp:361)
@@ -388,8 +393,24 @@ class LevelsetGrid(RealGrid):
                        ignoreWalls: bool = False,
                        correctOuterLayer: bool = True,
                        obstacleType: int = fl.TypeObstacle):
-        """Parallel-redistancing replacement for the serial fast march
-        (see ops/levelset.py module doc)."""
+        """reinitMarching (levelset.cpp:224): reference-exact serial fast
+        march with velocity value-transport via the native C++ extension
+        (mantaflow_tpu/native); falls back to the parallel-redistancing
+        JAX path (ops/levelset.py) when native code is unavailable."""
+        import numpy as np
+        from .. import native
+        try:
+            new_phi, new_vel = native.reinit_march(
+                np.asarray(self.data), np.asarray(flags.data),
+                np.asarray(velTransport.data)
+                if velTransport is not None else None,
+                maxTime, ignoreWalls, correctOuterLayer, obstacleType)
+            self.data = jnp.asarray(new_phi)
+            if velTransport is not None and new_vel is not None:
+                velTransport.data = jnp.asarray(new_vel)
+            return
+        except RuntimeError:
+            pass
         from ..ops import levelset as lso
         new_phi, new_vel = lso.reinit_marching(
             self.data, flags.data, self.dom,
@@ -897,7 +918,33 @@ def blurMacGrid(source: MACGrid, target: MACGrid, sigma: float = 1.0):
 
 def checkSymmetry(a: RealGrid, err=None, symmetrize: bool = False,
                   axis: int = 0, bound: int = 0):
-    return float(ini.check_symmetry(a.data, a.dom, axis, bound))
+    """checkSymmetry (initplugins.cpp:189)."""
+    new_a, new_err = ini.check_symmetry(
+        a.data, a.dom, err.data if err is not None else None, symmetrize,
+        axis, bound)
+    a.data = new_a
+    if err is not None:
+        err.data = new_err
+
+
+def checkSymmetryVec3(a, err=None, symmetrize: bool = False, axis: int = 0,
+                      bound: int = 0, disable: int = 0):
+    """checkSymmetryVec3 (initplugins.cpp:205)."""
+    new_a, new_err = ini.check_symmetry_vec3(
+        a.data, a.dom, err.data if err is not None else None, symmetrize,
+        axis, bound, disable)
+    a.data = new_a
+    if err is not None:
+        err.data = new_err
+
+
+def testInitGridWithPos(grid: RealGrid):
+    """testInitGridWithPos (flip.cpp:191): grid(i,j,k) = |Vec3(i,j,k)|."""
+    sz, sy, sx = grid.dom.shape
+    x = jnp.arange(sx, dtype=jnp.float32).reshape(1, 1, sx)
+    y = jnp.arange(sy, dtype=jnp.float32).reshape(1, sy, 1)
+    z = jnp.arange(sz, dtype=jnp.float32).reshape(sz, 1, 1)
+    grid.data = jnp.sqrt(x * x + y * y + z * z)
 
 
 def getGridAvg(source: RealGrid, flags=None):

@@ -198,6 +198,28 @@ class BasicParticleSystem:
     def doCompress(self):
         pass  # masked ops make compaction unnecessary
 
+    def kill_in_outflow(self, flags: FlagGrid):
+        """resetOutflow particle path (extforces.cpp:138-156): deactivate
+        particles whose (truncated) cell is an outflow cell."""
+        import dataclasses
+        from ..core import flags as flg
+        sz, sy, sx = self.dom.shape
+        p = self.parts.pos
+        ii = jnp.clip(p[:, 0].astype(jnp.int32), 0, sx - 1)
+        jj = jnp.clip(p[:, 1].astype(jnp.int32), 0, sy - 1)
+        kk = jnp.clip(p[:, 2].astype(jnp.int32), 0, sz - 1)
+        inb = ((p[:, 0] >= 0) & (p[:, 0] < sx) & (p[:, 1] >= 0)
+               & (p[:, 1] < sy))
+        if self.dom.is3d:
+            inb = inb & (p[:, 2] >= 0) & (p[:, 2] < sz)
+        cell = flags.data[kk, jj, ii]
+        kill = inb & ((cell & flg.TypeOutflow) != 0) \
+            & self.parts.active_mask()
+        self.parts = dataclasses.replace(
+            self.parts,
+            flags=jnp.where(kill, self.parts.flags | cp.PDELETE,
+                            self.parts.flags))
+
     def getPosPdata(self, target: PdataVec3):
         target.data = self.parts.pos
 

@@ -1,0 +1,54 @@
+"""Sharded FLIP: the fused liquid step under a multi-device mesh.
+
+VERDICT r1 item 3: shard_flip_state + a sharded-vs-single-device equality
+test for the FLIP model WITH an obstacle and a free surface (ghost-fluid
+pressure). Runs on the 8-virtual-CPU-device mesh from conftest.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mantaflow_tpu.core.domain import Domain
+from mantaflow_tpu.core.shapes import Sphere
+from mantaflow_tpu.models import flip
+from mantaflow_tpu.parallel import sharding as shd
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_flip_sharded_matches_single_device():
+    res = 32
+    dom = Domain(size=(res, res, res), dim=3)
+    params = flip.FlipParams(gravity=(0.0, -0.003, 0.0), ghost_fluid=True,
+                             cg_accuracy=1e-4)
+    obs = Sphere(center=(res * 0.7, res * 0.3, res * 0.5), radius=res * 0.15)
+    state0 = flip.make_dam_state(dom, params, discretization=2,
+                                 obstacle=obs)
+
+    # single-device reference
+    step = jax.jit(lambda s: flip.flip_step(s, dom, params))
+    ref = state0
+    for _ in range(3):
+        ref = step(ref)
+
+    # sharded: same initial state placed on the mesh
+    mesh = shd.make_mesh(8)
+    sh = shd.shard_flip_state(state0, mesh)
+    for _ in range(3):
+        sh = step(sh)
+
+    np.testing.assert_allclose(np.asarray(ref.vel), np.asarray(sh.vel),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ref.phi), np.asarray(sh.phi),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ref.parts.pos),
+                               np.asarray(sh.parts.pos), atol=2e-5)
+    # obstacle actually participates: some obstacle cells exist and no
+    # particle sits inside the sphere
+    fl = np.asarray(sh.flags)
+    assert (fl & 2).sum() > 0
+    p = np.asarray(sh.parts.pos)
+    act = np.asarray(sh.parts.active_mask())
+    d = ((p[:, 0] - res * 0.7) ** 2 + (p[:, 1] - res * 0.3) ** 2
+         + (p[:, 2] - res * 0.5) ** 2) ** 0.5
+    assert (d[act] < res * 0.15 - 1.5).sum() == 0
