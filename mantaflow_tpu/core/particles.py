@@ -113,11 +113,16 @@ def _sample_cells(cell_mask: np.ndarray, dom: Domain, discretization: int,
 
 def sample_flags_with_particles(flags_np: np.ndarray, dom: Domain,
                                 discretization: int, randomness: float,
-                                capacity: int | None = None) -> Particles:
-    """sampleFlagsWithParticles (flip.cpp:32-55): seed fluid cells."""
+                                capacity: int | None = None,
+                                headroom: float | None = None) -> Particles:
+    """sampleFlagsWithParticles (flip.cpp:32-55): seed fluid cells.
+    `headroom` overrides the default 1.5x capacity factor (use ~1.0 for
+    pipelines that never reseed)."""
     mask = (flags_np & fl.TypeFluid) != 0
     mask &= (flags_np & fl.TypeObstacle) == 0
     pts = _sample_cells(mask, dom, discretization, randomness)
+    if capacity is None and headroom is not None:
+        capacity = ((int(len(pts) * headroom) + 1023) // 1024) * 1024
     return make_particles(pts, capacity)
 
 

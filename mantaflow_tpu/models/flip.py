@@ -66,7 +66,8 @@ class FlipState:
 def make_dam_state(dom: Domain, params: FlipParams,
                    dam_frac=(0.4, 0.6, 1.0), discretization: int = 2,
                    randomness: float = 0.05, boundary_width: int = 0,
-                   dt: float = 0.5, obstacle=None) -> FlipState:
+                   dt: float = 0.5, obstacle=None,
+                   capacity_headroom: float = 1.02) -> FlipState:
     """Breaking-dam setup (flip01_simple.py:29-38); optional obstacle shape
     stamped into the flags (flip06_obstacle.py pattern)."""
     import numpy as np
@@ -81,8 +82,11 @@ def make_dam_state(dom: Domain, params: FlipParams,
     if obstacle is not None:
         obs_in = obstacle.inside_grid(dom)
         flags0 = jnp.where(obs_in, jnp.int32(fl.TypeObstacle), flags0)
+    # the fused model never reseeds — tight capacity keeps every particle
+    # pass (advect/p2g/g2p/levelset) from paying for dead headroom slots
     parts = cp.sample_flags_with_particles(np.asarray(flags0), dom,
-                                           discretization, randomness)
+                                           discretization, randomness,
+                                           headroom=capacity_headroom)
     n = parts.capacity
     return FlipState(
         flags=flags0,

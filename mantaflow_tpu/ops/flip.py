@@ -286,28 +286,69 @@ def union_particle_levelset(parts: Particles, flags, dom: Domain,
     pk = parts.pos[:, 2].astype(jnp.int32)
 
     big = jnp.float32(1e10)
-    phi_flat = jnp.full((n,), radius, jnp.float32)
-    zrange = range(-r, r + 1) if dom.is3d else [0]
-    for dz in zrange:
-        for dy in range(-r, r + 1):
-            for dx in range(-r, r + 1):
-                ci, cj, ck = pi + dx, pj + dy, pk + dz
-                ok = active & (ci >= 0) & (ci < sx) & (cj >= 0) & (cj < sy)
-                if dom.is3d:
-                    ok &= (ck >= 0) & (ck < sz)
-                cik = jnp.clip(ci, 0, sx - 1)
-                cjk = jnp.clip(cj, 0, sy - 1)
-                ckk = jnp.clip(ck, 0, sz - 1) if dom.is3d else jnp.zeros_like(cik)
-                gx = cik.astype(jnp.float32) + 0.5
-                gy = cjk.astype(jnp.float32) + 0.5
-                gz = ckk.astype(jnp.float32) + 0.5
-                d = jnp.sqrt((gx - parts.pos[:, 0]) ** 2
-                             + (gy - parts.pos[:, 1]) ** 2
-                             + ((gz - parts.pos[:, 2]) ** 2 if dom.is3d else 0.0)
-                             ) - radius
-                d = jnp.where(ok, d, big)
-                flat = (ckk * sy + cjk) * sx + cik
-                phi_flat = phi_flat.at[flat].min(d)
+    zrange = list(range(-r, r + 1)) if dom.is3d else [0]
+    offs = [(dz, dy, dx) for dz in zrange
+            for dy in range(-r, r + 1) for dx in range(-r, r + 1)]
+
+    if r == 1:
+        # row-packed scatter-min: ONE scatter writes a (27|9)-wide row of
+        # neighbor-cell distances keyed by the particle's own cell, then a
+        # roll/mask fold distributes the mins (3x faster than 27 separate
+        # scatter-mins at ~0.5M particles — same trick as scatter_rows)
+        inb = active & (pi >= 0) & (pi < sx) & (pj >= 0) & (pj < sy)
+        if dom.is3d:
+            inb = inb & (pk >= 0) & (pk < sz)
+        pkc = pk if dom.is3d else jnp.zeros_like(pi)
+        base = ((jnp.clip(pkc, 0, sz - 1) * sy + jnp.clip(pj, 0, sy - 1))
+                * sx + jnp.clip(pi, 0, sx - 1))
+        pxf, pyf, pzf = parts.pos[:, 0], parts.pos[:, 1], parts.pos[:, 2]
+        cols = []
+        for (dz, dy, dx) in offs:
+            gx = (pi + dx).astype(jnp.float32) + 0.5
+            gy = (pj + dy).astype(jnp.float32) + 0.5
+            d2 = (gx - pxf) ** 2 + (gy - pyf) ** 2
+            if dom.is3d:
+                gz = (pkc + dz).astype(jnp.float32) + 0.5
+                d2 = d2 + (gz - pzf) ** 2
+            cols.append(jnp.sqrt(d2) - radius)
+        rows = jnp.stack(cols, axis=1)
+        rows = jnp.where(inb[:, None], rows, big)
+        aux = jnp.full((n, len(offs)), big, jnp.float32).at[base].min(rows)
+
+        from ..core.masks import axis_index
+        ix = jnp.broadcast_to(axis_index(dom, "x"), dom.shape).reshape(-1)
+        iy = jnp.broadcast_to(axis_index(dom, "y"), dom.shape).reshape(-1)
+        iz = jnp.broadcast_to(axis_index(dom, "z"), dom.shape).reshape(-1)
+        phi_flat = jnp.full((n,), radius, jnp.float32)
+        for c, (dz, dy, dx) in enumerate(offs):
+            o = (dz * sy + dy) * sx + dx
+            contrib = jnp.roll(aux[:, c], o)
+            valid = (ix - dx >= 0) & (ix - dx < sx) \
+                & (iy - dy >= 0) & (iy - dy < sy)
+            if dom.is3d:
+                valid = valid & (iz - dz >= 0) & (iz - dz < sz)
+            phi_flat = jnp.minimum(phi_flat,
+                                   jnp.where(valid, contrib, big))
+    else:
+        phi_flat = jnp.full((n,), radius, jnp.float32)
+        for (dz, dy, dx) in offs:
+            ci, cj, ck = pi + dx, pj + dy, pk + dz
+            ok = active & (ci >= 0) & (ci < sx) & (cj >= 0) & (cj < sy)
+            if dom.is3d:
+                ok &= (ck >= 0) & (ck < sz)
+            cik = jnp.clip(ci, 0, sx - 1)
+            cjk = jnp.clip(cj, 0, sy - 1)
+            ckk = jnp.clip(ck, 0, sz - 1) if dom.is3d else jnp.zeros_like(cik)
+            gx = cik.astype(jnp.float32) + 0.5
+            gy = cjk.astype(jnp.float32) + 0.5
+            gz = ckk.astype(jnp.float32) + 0.5
+            d = jnp.sqrt((gx - parts.pos[:, 0]) ** 2
+                         + (gy - parts.pos[:, 1]) ** 2
+                         + ((gz - parts.pos[:, 2]) ** 2 if dom.is3d else 0.0)
+                         ) - radius
+            d = jnp.where(ok, d, big)
+            flat = (ckk * sy + cjk) * sx + cik
+            phi_flat = phi_flat.at[flat].min(d)
     phi = phi_flat.reshape(dom.shape)
     # phi.setBound(0.5, 0): outermost layer
     inter = interior_mask(dom, 1)

@@ -947,6 +947,9 @@ def testInitGridWithPos(grid: RealGrid):
     grid.data = jnp.sqrt(x * x + y * y + z * z)
 
 
+testInitGridWithPos.__test__ = False  # keep pytest from collecting it
+
+
 def getGridAvg(source: RealGrid, flags=None):
     if flags is not None:
         m = fl.is_fluid(flags.data)

@@ -29,7 +29,7 @@ def run_zflip(method=FIXED_VOL, frames=40, res=32, dim=3, verbose=True):
     gs = vec3(res, res, 1 if dim == 2 else res)
     s = Solver(name='main', gridSize=gs, dim=dim)
     s.timestep = 0.5
-    gravity = -0.01
+    gravity = -0.02
 
     flags = s.create(FlagGrid)
     phi = s.create(LevelsetGrid)
@@ -115,7 +115,15 @@ def run_zflip(method=FIXED_VOL, frames=40, res=32, dim=3, verbose=True):
 
         s.step()
 
-        occ = int((np.asarray(phi.data) < 0).sum())
+        # uniform volume measure for every method: cells occupied by >=1
+        # particle (compression = fewer occupied cells, FLIP's failure mode)
+        act = np.asarray(pp.parts.active_mask())
+        pos = np.asarray(pp.parts.pos)[act]
+        szs, sys_, sxs = flags.dom.shape
+        ii = np.clip(pos[:, 0].astype(np.int64), 0, sxs - 1)
+        jj = np.clip(pos[:, 1].astype(np.int64), 0, sys_ - 1)
+        kk = np.clip(pos[:, 2].astype(np.int64), 0, szs - 1)
+        occ = int(len(np.unique((kk * sys_ + jj) * sxs + ii)))
         volumes.append(occ)
         if verbose and it % 10 == 9:
             mantaMsg("it %d: parts=%d occupied_cells=%d (start %d)" %
