@@ -30,7 +30,13 @@ def _load_baseline():
 
 
 def bench_flip():
-    """FLIP dam at 64^3 (BASELINE_CPU.json flip64 config)."""
+    """FLIP dam at 64^3 (BASELINE_CPU.json flip64 config).
+
+    Runs the cell-bucketed particle pipeline (ops/flip_bucket.py +
+    Pallas kernels) — same op chain and numerics as the flat flip_step
+    (tests/test_flip_bucket.py asserts step-for-step agreement), laid out
+    for dense TPU stencil math. BENCH_FLIP_FLAT=1 measures the flat path.
+    """
     import jax
 
     from mantaflow_tpu.core.domain import Domain
@@ -38,13 +44,20 @@ def bench_flip():
 
     res = int(os.environ.get("BENCH_FLIP_RES", "64"))
     n_steps = int(os.environ.get("BENCH_STEPS", "10"))
+    flat = os.environ.get("BENCH_FLIP_FLAT", "") == "1"
 
     dom = Domain(size=(res, res, res), dim=3)
     params = flip.FlipParams(gravity=(0.0, -0.003, 0.0), ghost_fluid=True,
-                             cg_accuracy=1e-3)
-    state = flip.make_dam_state(dom, params, discretization=2)
-
-    step = jax.jit(lambda s: flip.flip_step(s, dom, params))
+                             cg_accuracy=1e-3,
+                             ring_only_obstacles=True)  # dam: no interior obs
+    if flat:
+        state = flip.make_dam_state(dom, params, discretization=2)
+        step = jax.jit(lambda s: flip.flip_step(s, dom, params))
+        n_parts = int(state.parts.capacity)
+    else:
+        state = flip.make_dam_state_bucketed(dom, params, discretization=2)
+        step = jax.jit(lambda s: flip.flip_step_bucketed(s, dom, params))
+        n_parts = int(state.buckets.count())
     state = step(state)
     float(state.vel.sum())  # sync
 
@@ -54,11 +67,13 @@ def bench_flip():
     float(state.vel.sum())
     dt = time.perf_counter() - t0
     steps_per_sec = n_steps / dt
+    if not flat:
+        assert int(state.buckets.dropped) == 0, "bucket overflow in bench"
 
     rec = _load_baseline()
     baseline = rec.get("flip64_steps_per_sec_multicore_est", 0.0)
     print(json.dumps({
-        "metric": f"FLIP dam steps/sec @ {res}^3 (~{int(state.parts.capacity/1000)}k"
+        "metric": f"FLIP dam steps/sec @ {res}^3 (~{n_parts // 1000}k"
                   " particles, RK4+p2g+CG 1e-3 ghost fluid)"
                   " vs 16-core-CPU reference estimate",
         "value": round(steps_per_sec, 4),

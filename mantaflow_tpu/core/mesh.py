@@ -142,6 +142,36 @@ def advect_mesh_nodes(nodes, vel, dt, dom: Domain, integration_mode: int = 0):
     return nodes + (2 * u0 + 2 * u1 + 2 * u2 + u3) / 6.0
 
 
+def collide_mesh_nodes(nodes, phi, dom: Domain, margin: float = 0.2,
+                       iters: int = 10):
+    """Shape::collideMesh (shapes.cpp:106-131): push nodes out of the
+    shape's levelset along its gradient until dist >= margin (or `iters`
+    tries). Vectorized over all nodes; returns (new_nodes, collided_mask).
+    Out-of-bounds nodes (bnd=1 test) are left untouched."""
+    nodes = jnp.asarray(nodes, jnp.float32)
+    if nodes.shape[0] == 0:
+        return nodes, jnp.zeros((0,), bool)
+    sz, sy, sx = dom.shape
+    gx = jnp.gradient(phi, axis=2)
+    gy = jnp.gradient(phi, axis=1)
+    gz = jnp.gradient(phi, axis=0)
+
+    p = nodes
+    inb = ((p[:, 0] >= 1) & (p[:, 0] < sx - 1) & (p[:, 1] >= 1)
+           & (p[:, 1] < sy - 1) & (p[:, 2] >= 1) & (p[:, 2] < sz - 1))
+    collided = jnp.zeros(nodes.shape[0], bool)
+    for _ in range(iters):
+        d = interpol(phi, p[:, 0], p[:, 1], p[:, 2])
+        hit = inb & (d < margin)
+        n = jnp.stack([interpol(gx, p[:, 0], p[:, 1], p[:, 2]),
+                       interpol(gy, p[:, 0], p[:, 1], p[:, 2]),
+                       interpol(gz, p[:, 0], p[:, 1], p[:, 2])], axis=-1)
+        n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+        p = jnp.where(hit[:, None], p + (margin - d)[:, None] * n, p)
+        collided = collided | hit
+    return p, collided
+
+
 def mesh_sdf(nodes, tris, dom: Domain, sigma: float = 2.0,
              cutoff: float = -1.0, parent_size=None):
     """Reference-exact meshSDF (mesh.cpp:868-1004): Gaussian-weighted

@@ -45,6 +45,11 @@ class FlipParams:
     dt_min: float = 1e-4
     dt_max: float = 1.0
     frame_length: float = 1.0
+    # static promise that obstacle cells are ONLY the bnd=1 boundary ring
+    # (no stamped interior obstacles): lets the bucketed advection replace
+    # every flags-at-position obstacle probe with a bounds test —
+    # bit-identical results for such scenes (ops/flip_bucket.py)
+    ring_only_obstacles: bool = False
 
 
 @jax.tree_util.register_dataclass
@@ -174,3 +179,92 @@ def flip_run(state: FlipState, dom: Domain, params: FlipParams,
 
     state, _ = jax.lax.scan(body, state, None, length=n_steps)
     return state
+
+
+# ---------------------------------------------------------------------------
+# bucketed fast path: the same step over the cell-bucket particle layout
+# (ops/flip_bucket.py) — dense stencil transfers, no gathers/scatters.
+
+from ..ops import flip_bucket as fb  # noqa: E402
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class FlipBucketState:
+    flags: jnp.ndarray
+    vel: jnp.ndarray
+    vel_old: jnp.ndarray
+    pressure: jnp.ndarray
+    phi: jnp.ndarray
+    buckets: fb.Buckets
+    ts: slv.TimeState
+
+
+def make_dam_state_bucketed(dom: Domain, params: FlipParams,
+                            dam_frac=(0.4, 0.6, 1.0),
+                            discretization: int = 2,
+                            randomness: float = 0.05,
+                            boundary_width: int = 0, dt: float = 0.5,
+                            obstacle=None, ppc: int = 12) -> FlipBucketState:
+    st = make_dam_state(dom, params, dam_frac, discretization, randomness,
+                        boundary_width, dt, obstacle)
+    buckets = fb.bin_from_particles(st.parts, st.pvel, dom, ppc=ppc)
+    return FlipBucketState(flags=st.flags, vel=st.vel, vel_old=st.vel_old,
+                           pressure=st.pressure, phi=st.phi, buckets=buckets,
+                           ts=st.ts)
+
+
+def flip_step_bucketed(state: FlipBucketState, dom: Domain,
+                       params: FlipParams) -> FlipBucketState:
+    """flip_step on the bucket layout (same op order as flip_step /
+    scenes/flip01_simple.py:47-68); FLIP blend only (no APIC channel yet)."""
+    flags, vel, bk, ts = state.flags, state.vel, state.buckets, state.ts
+
+    if params.adaptive_dt:
+        max_vel = jnp.sqrt(jnp.max(vel[0] ** 2 + vel[1] ** 2 + vel[2] ** 2))
+        ts = slv.adapt_timestep(ts, max_vel, params.cfl, params.dt_min,
+                                params.dt_max, params.frame_length)
+    dt = ts.dt
+
+    if jax.default_backend() == "tpu":
+        from ..ops import flip_bucket_pallas as fbp
+        bk = fbp.advect_pallas(bk, flags, vel, dt, dom,
+                               params.integration_mode,
+                               stop_in_obstacle=True,
+                               ring_only=params.ring_only_obstacles)
+        bk = fbp.rebin_pallas(bk, dom)
+    else:
+        bk = fb.advect_bucketed(bk, flags, vel, dt, dom,
+                                params.integration_mode,
+                                stop_in_obstacle=True,
+                                ring_only=params.ring_only_obstacles)
+        bk = fb.rebin(bk, dom)
+
+    vel, weight = fb.p2g_mac(bk, dom)
+    vel_old = vel
+    vel, _ = xtr.extrapolate_mac_from_weight(vel, weight, dom,
+                                             params.extrap_weight_dist)
+    flags = fb.mark_fluid_cells_bucketed(bk, flags, dom)
+
+    vel = ext.add_gravity(flags, vel, params.gravity, dt, dom,
+                          scale=params.gravity_scale)
+
+    phi = state.phi
+    if params.ghost_fluid:
+        phi = fb.union_levelset_bucketed(bk, dom, params.radius_factor)
+        phi = xtr.extrapolate_ls_simple(phi, dom, distance=4, inside=True)
+
+    vel = ext.set_wall_bcs(flags, vel, dom)
+    vel, pressure, _, _, _ = prs.solve_pressure(
+        vel, flags, dom, cg_accuracy=params.cg_accuracy,
+        phi=phi if params.ghost_fluid else None,
+        cg_max_iter_fac=params.cg_max_iter_fac,
+        preconditioner=params.preconditioner)
+    vel = ext.set_wall_bcs(flags, vel, dom)
+    vel = xtr.extrapolate_mac_simple(flags, vel, dom, params.extrap_vel_dist)
+
+    bk = fb.flip_update_bucketed(bk, vel, vel_old, params.flip_ratio, dom)
+
+    ts = slv.step(ts, params.frame_length)
+    return FlipBucketState(flags=flags, vel=vel, vel_old=vel_old,
+                           pressure=pressure, phi=phi, buckets=bk, ts=ts)

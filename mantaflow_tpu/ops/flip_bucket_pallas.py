@@ -1,0 +1,384 @@
+"""Pallas TPU kernel for bucketed particle advection.
+
+The XLA form of ``flip_bucket.advect_bucketed`` materializes every tap's
+(PPC, T) weight/accumulator intermediate in HBM (~26 ms at 64^3 x 459k
+particles, memory-bound). This kernel runs the complete RK4 advection for
+one z-slab of buckets with everything resident in VMEM: the velocity field
+is loaded once (padded, so every window tap is a static in-bounds slice),
+weights live in registers/VMEM scratch, and HBM traffic collapses to
+read-positions + write-positions.
+
+Semantics are identical to the XLA path: BUILD_INDEX border clamping
+(util/interpol.h:52-68), MAC per-component shifts (interpol.h:113-166), the
+fork's RK4 weighting (util/integrator.h:49-72), stop-in-obstacle stage
+zeroing + KnClampPositions + bisectBacktracePos (particle.h:485-525).
+
+Scope: 3D, whole velocity field resident in VMEM (fine through ~96^3; the
+128^3-class variant would DMA z-windows on demand).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core import flags as fl
+from ..core.domain import Domain
+
+# window taps per stage drift (see flip_bucket._TAPS)
+_TAPS = {
+    0.0: ((0, 1), (-1, 0, 1), (0,)),
+    0.5: ((-1, 0, 1, 2), (-1, 0, 1), (-1, 0, 1)),
+    1.0: ((-1, 0, 1, 2), (-2, -1, 0, 1, 2), (-1, 0, 1)),
+}
+_PAD = 2  # halo padding on every grid axis
+_MAC_SHIFTS = ((0.0, 0.5, 0.5), (0.5, 0.0, 0.5), (0.5, 0.5, 0.0))
+
+
+def _axw(p, n: int):
+    idx = p.astype(jnp.int32)
+    w = p - idx.astype(p.dtype)
+    lo = p < 0.0
+    idx = jnp.where(lo, 0, idx)
+    w = jnp.where(lo, jnp.zeros_like(w), w)
+    hi = p >= (n - 1)
+    idx = jnp.where(hi, n - 2, idx)
+    w = jnp.where(hi, jnp.ones_like(w), w)
+    return idx, w
+
+
+def _tapw(rel, w1, taps):
+    return [jnp.where(rel == d, 1.0 - w1, 0.0)
+            + jnp.where(rel == (d - 1), w1, 0.0) for d in taps]
+
+
+def _advect_kernel(dt_ref, velp_ref, obsp_ref, px_ref, py_ref, pz_ref,
+                   val_ref, ox_ref, oy_ref, oz_ref, *, shape, ppc, yb,
+                   integration_mode, stop_in_obstacle, ring_only):
+    sz, sy, sx = shape
+    k = pl.program_id(0)
+    y0 = pl.program_id(1) * yb
+    dt = dt_ref[0]
+    P = ppc
+    px = px_ref[:, 0]
+    py = py_ref[:, 0]
+    pz = pz_ref[:, 0]
+    live = val_ref[:, 0] > 0.5
+
+    cxi = jax.lax.broadcasted_iota(jnp.int32, (P, yb, sx), 2)
+    cyi = jax.lax.broadcasted_iota(jnp.int32, (P, yb, sx), 1) + y0
+
+    def obs_plane(dz, dy, dx):
+        return obsp_ref[k + _PAD + dz,
+                        pl.ds(y0 + _PAD + dy, yb),
+                        _PAD + dx:_PAD + dx + sx]
+
+    def obstacle_at(qx, qy, qz, taps):
+        if ring_only:
+            # only the bnd=1 ring is obstacle: flags-at-trunc(pos) is in the
+            # ring iff the position fails the bounds test (see
+            # flip_bucket.advect_bucketed ring_only)
+            return ~in_bounds(qx, qy, qz)
+        if taps == (0,):
+            return obs_plane(0, 0, 0)[None, :, :] > 0.5
+        ix = jnp.clip(qx.astype(jnp.int32), 0, sx - 1) - cxi
+        iy = jnp.clip(qy.astype(jnp.int32), 0, sy - 1) - cyi
+        iz = jnp.clip(qz.astype(jnp.int32), 0, sz - 1) - k
+        hit = jnp.zeros((P, yb, sx), dtype=jnp.bool_)
+        for dz in taps:
+            mz = iz == dz
+            for dy in taps:
+                mzy = mz & (iy == dy)
+                for dx in taps:
+                    o = obs_plane(dz, dy, dx)
+                    hit = hit | (mzy & (ix == dx) & (o[None] > 0.5))
+        return hit
+
+    def in_bounds(qx, qy, qz):
+        return ((qx >= 1.0) & (qx < sx - 1.0) & (qy >= 1.0)
+                & (qy < sy - 1.0) & (qz >= 1.0) & (qz < sz - 1.0))
+
+    def eval_u(qx, qy, qz, drift):
+        own, cross, obs_taps = _TAPS[drift]
+        comps = []
+        for c in range(3):
+            mx, my, mz = _MAC_SHIFTS[c]
+            bx, wx1 = _axw(qx - mx, sx)
+            by, wy1 = _axw(qy - my, sy)
+            bz, wz1 = _axw(qz - mz, sz)
+            tx = own if c == 0 else cross
+            ty = own if c == 1 else cross
+            tz = own if c == 2 else cross
+            wx = _tapw(bx - cxi, wx1, tx)
+            wy = _tapw(by - cyi, wy1, ty)
+            wz = _tapw(bz - k, wz1, tz)
+            acc = jnp.zeros((P, yb, sx), jnp.float32)
+            for iz, dz in enumerate(tz):
+                for iy, dy in enumerate(ty):
+                    wzy = wz[iz] * wy[iy]
+                    for ix, dx in enumerate(tx):
+                        g = velp_ref[c, k + _PAD + dz,
+                                     pl.ds(y0 + _PAD + dy, yb),
+                                     _PAD + dx:_PAD + dx + sx]
+                        acc = acc + (wzy * wx[ix]) * g[None]
+            comps.append(acc)
+        u = jnp.clip(comps[0] * dt, -1.0, 1.0)
+        v = jnp.clip(comps[1] * dt, -1.0, 1.0)
+        w = jnp.clip(comps[2] * dt, -1.0, 1.0)
+        if stop_in_obstacle:
+            bad = (~in_bounds(qx, qy, qz)
+                   | obstacle_at(qx, qy, qz, obs_taps))
+            u = jnp.where(bad, 0.0, u)
+            v = jnp.where(bad, 0.0, v)
+            w = jnp.where(bad, 0.0, w)
+        return u, v, w
+
+    u0 = eval_u(px, py, pz, 0.0)
+    if integration_mode == 0:
+        du, dv, dw = u0
+    elif integration_mode == 1:
+        du, dv, dw = eval_u(px + 0.5 * u0[0], py + 0.5 * u0[1],
+                            pz + 0.5 * u0[2], 0.5)
+    elif integration_mode == 2:
+        u1 = eval_u(px + 0.5 * u0[0], py + 0.5 * u0[1], pz + 0.5 * u0[2],
+                    0.5)
+        u2 = eval_u(px + 0.5 * u1[0], py + 0.5 * u1[1], pz + 0.5 * u1[2],
+                    0.5)
+        u3 = eval_u(px + u2[0], py + u2[1], pz + u2[2], 1.0)
+        du = (2 * u0[0] + 2 * u1[0] + 2 * u2[0] + u3[0]) / 6.0
+        dv = (2 * u0[1] + 2 * u1[1] + 2 * u2[1] + u3[1]) / 6.0
+        dw = (2 * u0[2] + 2 * u1[2] + 2 * u2[2] + u3[2]) / 6.0
+    else:
+        raise ValueError("unknown integration type")
+
+    nx = jnp.clip(px + jnp.clip(du, -1.0, 1.0), 0.0, sx - 1.0)
+    ny = jnp.clip(py + jnp.clip(dv, -1.0, 1.0), 0.0, sy - 1.0)
+    nz = jnp.clip(pz + jnp.clip(dw, -1.0, 1.0), 0.0, sz - 1.0)
+
+    if stop_in_obstacle:
+        in_obs = obstacle_at(nx, ny, nz, (-1, 0, 1))
+        s = jnp.zeros((P, yb, sx), jnp.float32)
+        for i in range(1, 5):
+            ds = 1.0 / (1 << i)
+            t = s + ds
+            bx_ = px * (1.0 - t) + nx * t
+            by_ = py * (1.0 - t) + ny * t
+            bz_ = pz * (1.0 - t) + nz * t
+            obs = obstacle_at(bx_, by_, bz_, (-1, 0, 1))
+            s = jnp.where(obs, s, t)
+        nx = jnp.where(in_obs, px * (1.0 - s) + nx * s, nx)
+        ny = jnp.where(in_obs, py * (1.0 - s) + ny * s, ny)
+        nz = jnp.where(in_obs, pz * (1.0 - s) + nz * s, nz)
+
+    ox_ref[:, 0] = jnp.where(live, nx, px)
+    oy_ref[:, 0] = jnp.where(live, ny, py)
+    oz_ref[:, 0] = jnp.where(live, nz, pz)
+
+
+def _shift(a, k: int, axis: int):
+    """jnp.roll(a, k, axis) with static k as two slices (Pallas-safe)."""
+    n = a.shape[axis]
+    k %= n
+    if k == 0:
+        return a
+    lo = jax.lax.slice_in_dim(a, n - k, n, axis=axis)
+    hi = jax.lax.slice_in_dim(a, 0, n - k, axis=axis)
+    return jnp.concatenate([lo, hi], axis=axis)
+
+
+def _rebin_pass_kernel(*refs, pos_idx, n_axis, ppc):
+    """One rebin axis pass (flip_bucket._rebin_axis semantics) along the
+    LAST block axis, which spans the whole grid axis. refs = 7 in (px py pz
+    vx vy vz valid) + 7 out, block shape (P, 1, rows, n_axis); ``pos_idx``
+    selects the position channel matching the pass axis.
+
+    The slot-compaction ranks (cumsum over the bucket axis), destination
+    block offsets, and the (slot x direction) indicator contraction all
+    happen in VMEM; wrap-around of the static shifts only ever reads the
+    obstacle ring (which holds no particles), exactly like the flat-roll
+    XLA form.
+    """
+    ins, outs = refs[:7], refs[7:]
+    P = ppc
+    blk = ins[0].shape  # (P, 1, rows, n_axis)
+    fields = [r[...] for r in ins[:6]]
+    valid = ins[6][...] > 0.5
+    AX = 3
+
+    cax = jax.lax.broadcasted_iota(jnp.int32, blk, AX)
+    p_axis = fields[pos_idx]
+
+    e = jnp.clip(p_axis.astype(jnp.int32) - cax, -1, 1)
+    tgt = cax + e
+    e = jnp.where((tgt < 0) | (tgt >= n_axis), 0, e)
+    e = jnp.where(valid, e, 2)
+
+    want = [e == d for d in (-1, 0, 1)]
+    # per-slot running ranks (cumsum over the bucket axis, unrolled: P small)
+    cs = [[] for _ in range(3)]
+    run = [jnp.zeros(blk[1:], jnp.int32) for _ in range(3)]
+    for p in range(P):
+        for di in range(3):
+            run[di] = run[di] + want[di][p].astype(jnp.int32)
+            cs[di].append(run[di])
+    cnt = run
+    o0 = _shift(cnt[0], -1, 2)  # cnt_-1 at cell b+1
+    o1 = _shift(cnt[0], -2, 2) + _shift(cnt[1], -1, 2)
+
+    cs = [jnp.stack(c) for c in cs]
+    fs = (jnp.where(want[0], cs[0] - 1, 0)
+          + jnp.where(want[1], cs[1] - 1 + o0[None], 0)
+          + jnp.where(want[2], cs[2] - 1 + o1[None], 0))
+
+    news = [[] for _ in range(6)]
+    vrows = []
+    for s in range(P):
+        accs = [jnp.zeros(blk[1:], jnp.float32) for _ in range(6)]
+        vrow = jnp.zeros(blk[1:], jnp.float32)
+        for di, d in enumerate((-1, 0, 1)):
+            ind = (want[di] & (fs == s)).astype(jnp.float32)
+            parts = [jnp.sum(ind * f, axis=0) for f in fields]
+            # destination slots are unique, so the per-direction indicator
+            # sums are disjoint: plain adds implement the union
+            pv = jnp.sum(ind, axis=0)
+            for fi in range(6):
+                accs[fi] = accs[fi] + _shift(parts[fi], d, 2)
+            vrow = vrow + _shift(pv, d, 2)
+        for fi in range(6):
+            news[fi].append(accs[fi])
+        vrows.append(vrow)
+
+    for fi, o in enumerate(outs[:6]):
+        o[...] = jnp.stack(news[fi])
+    outs[6][...] = jnp.stack(vrows)
+
+
+def _park_invalid(outs, new_valid, dom):
+    """Host-side (XLA) fixup: park invalid slots at cell centers with zero
+    velocity (matches flip_bucket._rebin_axis)."""
+    from .flip_bucket import _cell_centers
+    ccx, ccy, ccz = _cell_centers(dom)
+    centers = (ccx, ccy, ccz)
+    fixed = []
+    for fi in range(3):
+        fixed.append(jnp.where(new_valid, outs[fi], centers[fi][None, :]))
+    for fi in range(3, 6):
+        fixed.append(jnp.where(new_valid, outs[fi], 0.0))
+    return fixed
+
+
+# per pass axis (0=x, 1=y, 2=z): permutation of the grid dims (z,y,x) that
+# puts the pass axis LAST (position channel index given alongside); the
+# kernel always compacts along the last block axis
+_PASS_PERM = {
+    0: ((0, 1, 2), 0),          # (z, y, x) — x last already
+    1: ((0, 2, 1), 1),          # (z, x, y)
+    2: ((1, 2, 0), 2),          # (y, x, z)
+}
+
+
+def _rebin_axis_pallas(bk, dom: Domain, axis: int, interpret: bool = False):
+    sz, sy, sx = dom.shape
+    P, T = bk.ppc, bk.ncells
+    perm, pos_idx = _PASS_PERM[axis]
+    dims = (sz, sy, sx)
+    pshape = tuple(dims[i] for i in perm)          # grid dims, pass axis last
+    aperm = (0,) + tuple(1 + i for i in perm)      # incl. bucket axis
+
+    def view(a):
+        return a.reshape(P, sz, sy, sx).transpose(aperm)
+
+    n_axis = pshape[-1]
+    rows = pshape[1]
+    rb = 8
+    while rows % (2 * rb) == 0 and P * 2 * rb * n_axis * 4 * 30 < 4 * 2**20:
+        rb *= 2
+    if rows % rb != 0:
+        rb = rows
+
+    kern = functools.partial(_rebin_pass_kernel, pos_idx=pos_idx,
+                             n_axis=n_axis, ppc=P)
+    spec = pl.BlockSpec((P, 1, rb, n_axis), lambda i, j: (0, i, j, 0),
+                        memory_space=pltpu.VMEM)
+    ins = [view(bk.px), view(bk.py), view(bk.pz), view(bk.vx), view(bk.vy),
+           view(bk.vz), view(bk.valid.astype(jnp.float32))]
+    outs = pl.pallas_call(
+        kern,
+        grid=(pshape[0], rows // rb),
+        in_specs=[spec] * 7,
+        out_specs=tuple([spec] * 7),
+        out_shape=tuple(jax.ShapeDtypeStruct((P,) + pshape, jnp.float32)
+                        for _ in range(7)),
+        interpret=interpret,
+    )(*ins)
+    inv = (0,) + tuple(1 + perm.index(i) for i in range(3))
+    flat = [o.transpose(inv).reshape(P, T) for o in outs[:6]]
+    new_valid = outs[6].transpose(inv).reshape(P, T) > 0.5
+    flat = _park_invalid(flat, new_valid, dom)
+    total = jnp.sum(bk.valid.astype(jnp.int32))
+    dropped = bk.dropped + (total
+                            - jnp.sum(new_valid.astype(jnp.int32))).astype(
+                                jnp.int32)
+    from .flip_bucket import Buckets
+    return Buckets(px=flat[0], py=flat[1], pz=flat[2], vx=flat[3],
+                   vy=flat[4], vz=flat[5], valid=new_valid, dropped=dropped)
+
+
+def rebin_pallas(bk, dom: Domain, interpret: bool = False):
+    """Pallas rebin: three axis passes, the pass axis transposed last and
+    fully VMEM-resident per block. Drop-in for flip_bucket.rebin."""
+    bk = _rebin_axis_pallas(bk, dom, 0, interpret)
+    bk = _rebin_axis_pallas(bk, dom, 1, interpret)
+    bk = _rebin_axis_pallas(bk, dom, 2, interpret)
+    return bk
+
+
+def advect_pallas(bk, flags, vel, dt, dom: Domain, integration_mode: int = 2,
+                  stop_in_obstacle: bool = True, ring_only: bool = False,
+                  interpret: bool = False):
+    """Pallas advection over the bucket layout; drop-in for the positions
+    part of flip_bucket.advect_bucketed."""
+    import dataclasses
+
+    sz, sy, sx = dom.shape
+    P, T = bk.ppc, bk.ncells
+    pad = [(0, 0), (_PAD, _PAD), (_PAD, _PAD), (_PAD, _PAD)]
+    velp = jnp.pad(vel, pad)
+    if ring_only:
+        obsp = jnp.zeros((8, 8, 128), jnp.float32)  # unread placeholder
+    else:
+        obsp = jnp.pad(((flags & fl.TypeObstacle) != 0).astype(jnp.float32),
+                       pad[1:])
+    dt_arr = jnp.full((1,), dt, jnp.float32)
+
+    def resh(a):
+        return a.reshape(P, sz, sy, sx)
+
+    yb = 8 if sy % 8 == 0 else sy
+    kern = functools.partial(_advect_kernel, shape=dom.shape, ppc=P, yb=yb,
+                             integration_mode=integration_mode,
+                             stop_in_obstacle=stop_in_obstacle,
+                             ring_only=ring_only)
+    slab = pl.BlockSpec((P, 1, yb, sx), lambda k, j: (0, k, j, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=(sz, sy // yb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # dt
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # velp (full)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # obsp (full)
+            slab, slab, slab, slab,
+        ],
+        out_specs=(slab, slab, slab),
+        out_shape=tuple(jax.ShapeDtypeStruct((P, sz, sy, sx), jnp.float32)
+                        for _ in range(3)),
+        interpret=interpret,
+    )(dt_arr, velp, obsp, resh(bk.px), resh(bk.py), resh(bk.pz),
+      resh(bk.valid.astype(jnp.float32)))
+    nx, ny, nz = (o.reshape(P, T) for o in out)
+    return dataclasses.replace(bk, px=nx, py=ny, pz=nz)

@@ -303,14 +303,14 @@ class GridBase:
             m = m[None]
         return jnp.where(m, self.data, 0.0)
 
-    def setBoundNeumann(self, boundary_width: int = 0):
+    def setBoundNeumann(self, boundaryWidth: int = 0):
         """Copy the first interior layer into the boundary shells
         (Grid::setBoundNeumann, grid.cpp:667)."""
         from ..core.masks import axis_index
         from ..core.masks import shift as _shift
         out = self.data
         dom = self.dom
-        w = boundary_width
+        w = boundaryWidth
         for ax, n in (("x", dom.shape[2]), ("y", dom.shape[1]),
                       ("z", dom.shape[0])):
             if ax == "z" and not dom.is3d:
@@ -325,11 +325,13 @@ class GridBase:
                 out = jnp.where(hi, _shift(out, -1, ax), out)
         self.data = out
 
-    def setBound(self, value, boundary_width: int = 1):
+    def setBound(self, value, boundaryWidth: int = 1):
         from ..core.masks import interior_mask
-        m = interior_mask(self.dom, boundary_width)
+        m = interior_mask(self.dom, boundaryWidth)
         if self.channels == 3:
             m = m[None]
+            if isinstance(value, (tuple, list)):
+                value = jnp.asarray(value, jnp.float32).reshape(3, 1, 1, 1)
         self.data = jnp.where(m, self.data, value)
 
     # numpy interop (numpyconvert.cpp equivalents)
@@ -513,6 +515,24 @@ class _SceneShape:
         g = LevelsetGrid(self.solver)
         g.data = self.shape.compute_levelset(self.solver.domain)
         return g
+
+    def collideMesh(self, mesh):
+        """Shape::collideMesh (shapes.cpp:106-131): push mesh nodes out of
+        this shape to a 0.2-cell margin; sets NfCollide|NfMarked (mesh.h:135)
+        on moved nodes in mesh.node_flags."""
+        import numpy as np
+        from ..core.mesh import collide_mesh_nodes
+        dom = self.solver.domain
+        phi = self.shape.compute_levelset(dom)
+        new_nodes, hit = collide_mesh_nodes(mesh.nodes, phi, dom)
+        mesh.nodes = np.asarray(new_nodes)
+        nf = getattr(mesh, "node_flags", None)
+        if nf is None or len(nf) != mesh.numNodes():
+            nf = np.zeros(mesh.numNodes(), np.int32)
+        NfMarked, NfCollide = 2, 8
+        nf = np.where(np.asarray(hit), nf | (NfCollide | NfMarked),
+                      nf & ~(NfCollide | NfMarked))
+        mesh.node_flags = nf.astype(np.int32)
 
 
 class Box(_SceneShape):

@@ -207,6 +207,10 @@ def projectPpmFull(grid: RealGrid, name: str, shadeMode: int = 0,
     img = arr.mean(axis=0) if arr.shape[0] > 1 else arr[0]
     img = np.clip(img * scale, 0.0, 1.0)
     img8 = (img[::-1] * 255).astype(np.uint8)  # y up
+    if name.endswith(".png"):  # simpleimage.cpp also writes PNG
+        from ..io.png import write_png
+        write_png(name, np.repeat(img8[..., None], 3, axis=-1))
+        return
     h, w = img8.shape
     with open(name, "wb") as f:
         f.write(b"P6\n%d %d\n255\n" % (w, h))

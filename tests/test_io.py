@@ -183,3 +183,31 @@ def test_vdb_gated(tmp_path):
     except ImportError:
         with pytest.raises(NotImplementedError, match="pyopenvdb"):
             g.save(p)
+
+
+def test_png_roundtrip(tmp_path):
+    """PNG writer (simpleimage.cpp PNG-path parity): gray + RGB round-trip."""
+    from mantaflow_tpu.io.png import write_png, read_png
+    rng = np.random.RandomState(3)
+    gray = rng.randint(0, 256, (17, 23), dtype=np.uint8)
+    p = str(tmp_path / "g.png")
+    write_png(p, gray)
+    np.testing.assert_array_equal(read_png(p), gray)
+    rgb = rng.randint(0, 256, (9, 11, 3), dtype=np.uint8)
+    p2 = str(tmp_path / "c.png")
+    write_png(p2, rgb)
+    np.testing.assert_array_equal(read_png(p2), rgb)
+
+
+def test_project_ppm_full_png(tmp_path):
+    res = 8
+    s = Solver(name="png", gridSize=vec3(res, res, res))
+    g = s.create(RealGrid)
+    g.setConst(0.5)
+    from mantaflow_tpu.scene.io_api import projectPpmFull
+    p = str(tmp_path / "shot.png")
+    projectPpmFull(g, p, 0, 1.0)
+    from mantaflow_tpu.io.png import read_png
+    img = read_png(p)
+    assert img.shape == (res, res, 3)
+    assert (np.abs(img.astype(int) - 127) <= 1).all()

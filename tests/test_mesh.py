@@ -145,3 +145,30 @@ def test_mesh_data_channels(tmp_path):
     md2 = mesh.create(MdataReal)
     md2.load(p)
     assert np.array_equal(md2.data, md.data)
+
+
+def test_collide_mesh():
+    """Shape.collideMesh (shapes.cpp:106-131): nodes inside the shape get
+    pushed to >= margin outside, and are flagged NfCollide|NfMarked."""
+    from mantaflow_tpu.scene.api import Solver, Sphere, vec3
+    from mantaflow_tpu.scene.mesh_api import Mesh
+    import numpy as np
+
+    s = Solver(name="cm", gridSize=vec3(32, 32, 32))
+    sph = Sphere(s, center=vec3(16, 16, 16), radius=6)
+    m = Mesh(s)
+    # a small triangle: one node inside (off-center, so the levelset
+    # gradient is well defined), one at the surface, one far out
+    m.nodes = np.array([[18.0, 16.0, 16.0],
+                        [22.5, 16.0, 16.0],
+                        [28.0, 16.0, 16.0]], np.float32)
+    m.tris = np.array([[0, 1, 2]], np.int32)
+    sph.collideMesh(m)
+    phi = np.asarray(sph.shape.compute_levelset(s.domain))
+    from mantaflow_tpu.core.interp import interpol
+    d = np.asarray(interpol(phi, m.nodes[:, 0], m.nodes[:, 1],
+                            m.nodes[:, 2]))
+    assert d[0] >= 0.15            # pushed out (10 iters from the center)
+    assert d[2] > 5.0              # far node untouched
+    assert m.node_flags[0] & 8     # NfCollide
+    assert not (m.node_flags[2] & 8)
