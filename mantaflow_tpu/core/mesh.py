@@ -27,6 +27,181 @@ _CORNER_OFF = np.array([[(v >> 0) & 1, (v >> 1) & 1, (v >> 2) & 1]
                         for v in range(8)], np.float32)  # (8,3) xyz
 
 
+# ---------------------------------------------------------------------------
+# marching cubes (levelset.cpp:330 createMesh / util/mcubes.h equivalent)
+#
+# The 256-case triangle table is GENERATED here (clean-room, no copied
+# tables): corners use binary numbering (bit0=x, bit1=y, bit2=z); cut edges
+# are paired into segments per face (on the two ambiguous-face patterns the
+# pairing always separates the inside corners, a globally consistent choice
+# that keeps the extracted surface watertight where the classic complement
+# tables can crack); segments chain into closed polygons, fan-triangulated
+# with outward (grad-phi-aligned) winding at canonical t=0.5 geometry.
+
+_MC_EDGES = ([(v, v | 1) for v in range(8) if not v & 1]        # x: 0..3
+             + [(v, v | 2) for v in range(8) if not v & 2]      # y: 4..7
+             + [(v, v | 4) for v in range(8) if not v & 4])     # z: 8..11
+_MC_FACES = [(0, 2, 6, 4), (1, 3, 7, 5),      # x=0, x=1
+             (0, 1, 5, 4), (2, 3, 7, 6),      # y=0, y=1
+             (0, 1, 3, 2), (4, 5, 7, 6)]      # z=0, z=1
+
+
+def _gen_mc_table():
+    edge_of = {}
+    for e, (a, b) in enumerate(_MC_EDGES):
+        edge_of[(a, b)] = edge_of[(b, a)] = e
+    corner_pos = [np.array([(v >> 0) & 1, (v >> 1) & 1, (v >> 2) & 1],
+                           float) for v in range(8)]
+    mid = [0.5 * (corner_pos[a] + corner_pos[b]) for a, b in _MC_EDGES]
+
+    table = []
+    for case in range(256):
+        inside = [(case >> v) & 1 for v in range(8)]
+        # per-face segments between cut edges
+        adj = {}  # cut edge -> list of partner cut edges (one per face)
+        for face in _MC_FACES:
+            fedges = [edge_of[(face[i], face[(i + 1) % 4])] for i in range(4)]
+            cuts = [i for i in range(4)
+                    if inside[face[i]] != inside[face[(i + 1) % 4]]]
+            if len(cuts) == 2:
+                a, b = fedges[cuts[0]], fedges[cuts[1]]
+                adj.setdefault(a, []).append(b)
+                adj.setdefault(b, []).append(a)
+            elif len(cuts) == 4:
+                # ambiguous face: pair the cut edges around each INSIDE
+                # corner (separates the diagonal inside corners)
+                for i in range(4):
+                    if inside[face[i]]:
+                        a = edge_of[(face[i - 1], face[i])]
+                        b = edge_of[(face[i], face[(i + 1) % 4])]
+                        adj.setdefault(a, []).append(b)
+                        adj.setdefault(b, []).append(a)
+        # chain into closed polygons
+        tris = []
+        seen = set()
+        for start in list(adj):
+            if start in seen:
+                continue
+            poly = [start]
+            seen.add(start)
+            prev, cur = None, start
+            while True:
+                # each cut edge has exactly two face-partners; walk the one
+                # we didn't come from
+                a, b = adj[cur]
+                nxt = b if prev == a else a
+                if nxt == poly[0]:
+                    break
+                poly.append(nxt)
+                seen.add(nxt)
+                prev, cur = cur, nxt
+            # outward direction for THIS component: outside-neighbor centroid
+            # minus inside-endpoint centroid of the polygon's cut edges
+            ins = np.mean([corner_pos[a] if inside[a] else corner_pos[b]
+                           for a, b in (_MC_EDGES[e] for e in poly)], axis=0)
+            outs = np.mean([corner_pos[b] if inside[a] else corner_pos[a]
+                            for a, b in (_MC_EDGES[e] for e in poly)], axis=0)
+            d = outs - ins
+            # orient the closed cycle once (Newell normal over t=0.5
+            # midpoints, robust to collinear fans), then fan-triangulate
+            n_poly = np.zeros(3)
+            for i in range(len(poly)):
+                p0 = mid[poly[i]]
+                p1 = mid[poly[(i + 1) % len(poly)]]
+                n_poly += np.cross(p0, p1)
+            if np.dot(n_poly, d) < 0:
+                poly.reverse()
+            for i in range(1, len(poly) - 1):
+                tris.append((poly[0], poly[i], poly[i + 1]))
+        table.append(tris)
+    nmax = max(len(t) for t in table)
+    arr = np.full((256, nmax, 3), -1, np.int8)
+    for c, tris in enumerate(table):
+        for i, t in enumerate(tris):
+            arr[c, i] = t
+    return arr
+
+
+_MC_TABLE = None
+
+
+def marching_cubes(phi: np.ndarray, iso: float = 0.0):
+    """Table-driven marching cubes over a [z,y,x] levelset (values at cell
+    centers +0.5). Vertices weld exactly via global edge ids (the reference
+    createMesh edge-index scheme, levelset.cpp:185-244). Returns
+    (nodes (M,3) xyz float32, tris (T,3) int32), outward winding."""
+    global _MC_TABLE
+    if _MC_TABLE is None:
+        _MC_TABLE = _gen_mc_table()
+    phi = np.asarray(phi, np.float32)
+    sz, sy, sx = phi.shape
+    if sz < 2:
+        raise ValueError("marching_cubes requires a 3D grid")
+    cz, cy, cx = sz - 1, sy - 1, sx - 1
+    c = np.empty((8, cz, cy, cx), np.float32)
+    for v in range(8):
+        ox, oy, oz = (v >> 0) & 1, (v >> 1) & 1, (v >> 2) & 1
+        c[v] = phi[oz:cz + oz, oy:cy + oy, ox:cx + ox]
+    c = c.reshape(8, -1) - iso
+    inside = c < 0.0
+    case = np.zeros(c.shape[1], np.int32)
+    for v in range(8):
+        case |= inside[v].astype(np.int32) << v
+
+    # node index of each cell's lower corner, for global edge ids
+    kk, jj, ii = np.meshgrid(np.arange(cz), np.arange(cy), np.arange(cx),
+                             indexing="ij")
+    corner_flat = (kk * sy + jj).ravel() * sx + ii.ravel()
+    nnode = sz * sy * sx
+    corner_off = np.array(
+        [((v >> 2) & 1) * sy * sx + ((v >> 1) & 1) * sx + ((v >> 0) & 1)
+         for v in range(8)], np.int64)
+    edge_axis = np.array([0] * 4 + [1] * 4 + [2] * 4, np.int64)
+    edge_lo = np.array([a for a, _ in _MC_EDGES], np.int64)
+
+    base = np.stack([ii.ravel() + 0.5, jj.ravel() + 0.5, kk.ravel() + 0.5],
+                    axis=-1).astype(np.float32)
+    coff = np.array([[(v >> 0) & 1, (v >> 1) & 1, (v >> 2) & 1]
+                     for v in range(8)], np.float32)
+
+    eid_chunks, pos_chunks = [], []
+    for cs in range(1, 256):
+        sel = np.flatnonzero(case == cs)
+        if sel.size == 0:
+            continue
+        ctris = _MC_TABLE[cs]
+        ctris = ctris[ctris[:, 0] >= 0]
+        if len(ctris) == 0:
+            continue
+        for t in ctris:
+            eid3, pos3 = [], []
+            for e in t:
+                a, b = _MC_EDGES[e]
+                va, vb = c[a, sel], c[b, sel]
+                tt = va / (va - vb)
+                pa = base[sel] + coff[a]
+                pb = base[sel] + coff[b]
+                pos3.append(pa + tt[:, None] * (pb - pa))
+                eid3.append(edge_axis[e] * nnode + corner_flat[sel]
+                            + corner_off[edge_lo[e]])
+            # (S, 3) per-triangle vertex ids / positions
+            eid_chunks.append(np.stack(eid3, axis=-1))
+            pos_chunks.append(np.stack(pos3, axis=1))
+
+    if not eid_chunks:
+        return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int32))
+    eids = np.concatenate(eid_chunks, axis=0)            # (T, 3)
+    pos = np.concatenate(pos_chunks, axis=0)             # (T, 3, 3)
+    flat_ids = eids.reshape(-1)
+    _, first, inv = np.unique(flat_ids, return_index=True,
+                              return_inverse=True)
+    nodes = pos.reshape(-1, 3)[first].astype(np.float32)
+    tris = inv.reshape(-1, 3).astype(np.int32)
+    good = ((tris[:, 0] != tris[:, 1]) & (tris[:, 1] != tris[:, 2])
+            & (tris[:, 0] != tris[:, 2]))
+    return nodes, tris[good]
+
+
 def marching_tets(phi: np.ndarray, iso: float = 0.0):
     """Extract the iso-surface of a [z,y,x] levelset as an indexed triangle
     mesh in grid coordinates (values at cell centers +0.5). Returns

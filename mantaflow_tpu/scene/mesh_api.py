@@ -172,13 +172,14 @@ class Mesh:
     def fromShape(self, shape):
         """Build from a shape's SDF via surface extraction."""
         phi = np.asarray(shape.shape.compute_levelset(self.dom))
-        self.nodes, self.tris = cmesh.marching_tets(phi)
+        self.nodes, self.tris = cmesh.marching_cubes(phi)
 
 
 def _ls_create_mesh(self: LevelsetGrid, mesh: Mesh):
-    """LevelsetGrid::createMesh (levelset.cpp:330): extract phi=0 surface.
-    Uses marching tetrahedra (see core/mesh.py module doc)."""
-    nodes, tris = cmesh.marching_tets(np.asarray(self.data))
+    """LevelsetGrid::createMesh (levelset.cpp:330): extract phi=0 surface
+    with table-driven marching cubes (generated tables + exact edge-id
+    vertex welding, the mcubes.h/createMesh scheme; see core/mesh.py)."""
+    nodes, tris = cmesh.marching_cubes(np.asarray(self.data))
     mesh.nodes, mesh.tris = nodes, tris
 
 

@@ -172,3 +172,44 @@ def test_collide_mesh():
     assert d[2] > 5.0              # far node untouched
     assert m.node_flags[0] & 8     # NfCollide
     assert not (m.node_flags[2] & 8)
+
+
+def test_marching_cubes_watertight_sphere():
+    """Generated MC table (mcubes.h equivalent): sphere surface is closed,
+    consistently wound, Euler characteristic 2, outward normals."""
+    from mantaflow_tpu.core.mesh import marching_cubes
+    n = 32
+    z, y, x = np.mgrid[0:n, 0:n, 0:n].astype(np.float32) + 0.5
+    phi = np.sqrt((x - 16) ** 2 + (y - 16) ** 2 + (z - 16) ** 2) - 9.0
+    nodes, tris = marching_cubes(phi)
+    assert len(tris) > 500
+    edges = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]],
+                            tris[:, [2, 0]]])
+    ek = np.sort(edges, axis=1)
+    uniq, cnt = np.unique(ek, axis=0, return_counts=True)
+    assert (cnt == 2).all()                        # watertight
+    assert len(nodes) - len(uniq) + len(tris) == 2  # Euler genus 0
+    du, dc = np.unique(edges, axis=0, return_counts=True)
+    assert dc.max() == 1                           # consistent winding
+    v0, v1, v2 = nodes[tris[:, 0]], nodes[tris[:, 1]], nodes[tris[:, 2]]
+    nrm = np.cross(v1 - v0, v2 - v0)
+    cen = (v0 + v1 + v2) / 3 - 16.5
+    assert (np.sum(nrm * cen, axis=1) > 0).all()   # outward
+    r = np.linalg.norm(nodes - 16.5, axis=1)
+    assert abs(r.mean() - 9.0) < 0.1
+
+
+def test_marching_cubes_interior_watertight_random():
+    """Ambiguity resolution is face-consistent: no interior cracks even on
+    random fields (only border-exit edges may be open)."""
+    from mantaflow_tpu.core.mesh import marching_cubes
+    rng = np.random.RandomState(7)
+    phi = rng.randn(10, 10, 10).astype(np.float32)
+    nodes, tris = marching_cubes(phi)
+    edges = np.concatenate([tris[:, [0, 1]], tris[:, [1, 2]],
+                            tris[:, [2, 0]]])
+    ek = np.sort(edges, axis=1)
+    uniq, cnt = np.unique(ek, axis=0, return_counts=True)
+    open_edges = uniq[cnt != 2]
+    p = nodes[open_edges.reshape(-1)]
+    assert ((p <= 1.0) | (p >= 8.0)).any(axis=1).all()
