@@ -59,15 +59,39 @@ class MlflipState:
 
 def make_mlflip_state(dom: Domain, params: fm.FlipParams,
                       dam_frac=(0.4, 0.8, 1.0), discretization: int = 2,
-                      randomness: float = 0.1, dt: float = 0.5) -> MlflipState:
+                      randomness: float = 0.1, dt: float = 0.5,
+                      drop_speed: float = 0.0) -> MlflipState:
+    """Dam state, or (drop_speed > 0) a basin + fast falling drop — the
+    energetic-impact setup the reference gen-data sim uses to actually
+    produce splash labels (manta_flip.py drop/wave scenes)."""
     st = fm.make_dam_state(dom, params, dam_frac=dam_frac,
                            discretization=discretization,
                            randomness=randomness, dt=dt)
+    pvel = st.pvel
+    if drop_speed > 0.0:
+        import numpy as np
+        from ..core.shapes import Box, Sphere
+        sx, sy, sz = dom.size
+        basin = Box(p0=(0, 0, 0), p1=(sx, 0.15 * sy, sz), dim=dom.dim)
+        drop = Sphere(center=(0.5 * sx, 0.55 * sy, 0.5 * sz),
+                      radius=0.12 * sx)
+        phi0 = jnp.minimum(basin.compute_levelset(dom),
+                           drop.compute_levelset(dom))
+        flags0 = fl.update_from_levelset(fl.init_domain(dom, 0), phi0, 1e10)
+        parts = cp.sample_flags_with_particles(np.asarray(flags0), dom,
+                                               discretization, randomness,
+                                               headroom=1.02)
+        in_drop = drop.sdf(parts.pos[:, 0], parts.pos[:, 1],
+                           parts.pos[:, 2]) < 1.0
+        pvel = jnp.where((in_drop & parts.active_mask())[:, None],
+                         jnp.asarray([0.0, -drop_speed, 0.0]), 0.0)
+        st = dataclasses.replace(st, flags=flags0, parts=parts, pvel=pvel)
+        pvel = st.pvel
     ptype = jnp.where(st.parts.active_mask(), jnp.int32(fl.TypeFluid),
                       jnp.int32(0))
     return MlflipState(flags=st.flags, vel=st.vel, vel_old=st.vel_old,
                        pressure=st.pressure, phi=st.phi, parts=st.parts,
-                       pvel=st.pvel, ptype=ptype, ts=st.ts)
+                       pvel=pvel, ptype=ptype, ts=st.ts)
 
 
 def surface_candidates(state: MlflipState, dom: Domain):
@@ -222,14 +246,16 @@ def mlflip_step(state: MlflipState, dom: Domain, params: fm.FlipParams,
 def generate_training_data(dom: Domain, params: fm.FlipParams,
                            n_frames: int = 12, window: int = 1,
                            vscale: float = 1.0, seed: int = 0,
-                           dam_frac=(0.4, 0.8, 1.0)):
+                           dam_frac=(0.4, 0.8, 1.0),
+                           drop_speed: float = 0.0):
     """Run the gen-data sim; per frame collect (features, label, modvel) for
     every surface candidate. Label = the candidate actually detached during
     the frame (ptype fluid->empty, gendata save_new_splashing_particles);
     modvel = the splasher's end-of-frame velocity minus its grid-predicted
     velocity (save_velocity_modification)."""
     del seed
-    state = make_mlflip_state(dom, params, dam_frac=dam_frac)
+    state = make_mlflip_state(dom, params, dam_frac=dam_frac,
+                              drop_speed=drop_speed)
     step = jax.jit(lambda s: mlflip_step(s, dom, params))
 
     @jax.jit

@@ -25,6 +25,7 @@ FAST_SCENES = [
     ("benchmark_dam.py", ["10", "0.1"]),
     ("benchmark_wave.py", ["0.1"]),
     ("zflip.py", ["1", "5", "20"]),
+    ("flip02_surface.py", ["4"]),
 ]
 
 
