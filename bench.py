@@ -29,28 +29,12 @@ def _load_baseline():
     return {}
 
 
-def bench_flip():
-    """FLIP dam at 64^3 (BASELINE_CPU.json flip64 config).
-
-    Runs the cell-bucketed particle pipeline (ops/flip_bucket.py +
-    Pallas kernels) — same op chain and numerics as the flat flip_step
-    (tests/test_flip_bucket.py asserts step-for-step agreement), laid out
-    for dense TPU stencil math. BENCH_FLIP_FLAT=1 measures the flat path.
-    """
+def _flip_setup(mode, dom, params):
     import jax
 
-    from mantaflow_tpu.core.domain import Domain
     from mantaflow_tpu.models import flip
 
-    res = int(os.environ.get("BENCH_FLIP_RES", "64"))
-    n_steps = int(os.environ.get("BENCH_STEPS", "10"))
-    flat = os.environ.get("BENCH_FLIP_FLAT", "") == "1"
-
-    dom = Domain(size=(res, res, res), dim=3)
-    params = flip.FlipParams(gravity=(0.0, -0.003, 0.0), ghost_fluid=True,
-                             cg_accuracy=1e-3,
-                             ring_only_obstacles=True)  # dam: no interior obs
-    if flat:
+    if mode == "flat":
         state = flip.make_dam_state(dom, params, discretization=2)
         step = jax.jit(lambda s: flip.flip_step(s, dom, params))
         n_parts = int(state.parts.capacity)
@@ -58,16 +42,61 @@ def bench_flip():
         state = flip.make_dam_state_bucketed(dom, params, discretization=2)
         step = jax.jit(lambda s: flip.flip_step_bucketed(s, dom, params))
         n_parts = int(state.buckets.count())
+    return state, step, n_parts
+
+
+def _time_steps(state, step, n_steps):
     state = step(state)
     float(state.vel.sum())  # sync
-
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state = step(state)
     float(state.vel.sum())
-    dt = time.perf_counter() - t0
-    steps_per_sec = n_steps / dt
-    if not flat:
+    return n_steps / (time.perf_counter() - t0), state
+
+
+def bench_flip():
+    """FLIP dam at 64^3 (BASELINE_CPU.json flip64 config).
+
+    BENCH_FLIP_MODE=bucket runs the cell-bucketed particle pipeline
+    (ops/flip_bucket.py + Pallas kernels — same op chain and numerics as
+    the flat flip_step; tests/test_flip_bucket.py asserts step-for-step
+    agreement), =flat the round-2 packed-row layout, =auto (default)
+    3-step-probes both and reports the faster (falling back to flat if the
+    bucketed path fails on this backend).
+    """
+    from mantaflow_tpu.core.domain import Domain
+    from mantaflow_tpu.models import flip
+
+    res = int(os.environ.get("BENCH_FLIP_RES", "64"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "10"))
+    mode = os.environ.get("BENCH_FLIP_MODE", "auto")
+    if os.environ.get("BENCH_FLIP_FLAT", "") == "1":  # legacy switch
+        mode = "flat"
+
+    dom = Domain(size=(res, res, res), dim=3)
+    params = flip.FlipParams(gravity=(0.0, -0.003, 0.0), ghost_fluid=True,
+                             cg_accuracy=1e-3,
+                             ring_only_obstacles=True)  # dam: no interior obs
+
+    if mode == "auto":
+        rate_f, _ = _time_steps(*_flip_setup("flat", dom, params)[:2], 3)
+        try:
+            rate_b, st_b = _time_steps(*_flip_setup("bucket", dom,
+                                                    params)[:2], 3)
+            if int(st_b.buckets.dropped) != 0:
+                rate_b = 0.0
+        except Exception as e:  # bucketed path unavailable on this backend
+            print(f"# bucketed probe failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+            rate_b = 0.0
+        mode = "bucket" if rate_b > rate_f else "flat"
+        print(f"# auto: flat {rate_f:.2f} vs bucket {rate_b:.2f} steps/s "
+              f"-> {mode}", file=sys.stderr, flush=True)
+
+    state, step, n_parts = _flip_setup(mode, dom, params)
+    steps_per_sec, state = _time_steps(state, step, n_steps)
+    if mode == "bucket":
         assert int(state.buckets.dropped) == 0, "bucket overflow in bench"
 
     rec = _load_baseline()
