@@ -100,6 +100,30 @@ def read_grid_uni(filename: str):
     return data, h
 
 
+def get_uni_file_size(filename: str):
+    """getUniFileSize (iogrids.cpp:323-371): grid dims from a .uni header,
+    (0, 0, 0) when the file is missing/unreadable."""
+    import gzip
+    import os
+    if not os.path.isfile(filename):
+        return (0, 0, 0)
+    try:
+        with gzip.open(filename, "rb") as f:
+            magic = f.read(4)
+            if magic not in (b"MNT3", b"PB02", b"PD01"):
+                return (0, 0, 0)
+            vals = struct.unpack("iii", f.read(12))
+            if magic == b"MNT3":
+                return tuple(vals)
+            # particle headers store (dim, dimX, dimY); re-read accordingly
+        with gzip.open(filename, "rb") as f:
+            f.read(4)
+            _, sx, sy, sz = struct.unpack("iiii", f.read(16))
+            return (sx, sy, sz)
+    except Exception:
+        return (0, 0, 0)
+
+
 def write_particles_uni(filename: str, positions, flags, grid_size):
     """PB02 particle block: interleaved (float3 pos, int32 flag)."""
     pos = np.asarray(positions, np.float32)

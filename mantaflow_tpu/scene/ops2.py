@@ -113,8 +113,11 @@ def updateUvWeight(resetTime: float, index: int, numUvs: int, uv: Vec3Grid,
 
 def extrapolateSimpleFlags(flags: FlagGrid, val, distance: int = 4,
                            flagFrom: int = 1, flagTo: int = 2):
-    val.data = tur.extrapolate_simple_flags(flags.data, val.data, flags.dom,
-                                            distance, flagFrom, flagTo)
+    out = tur.extrapolate_simple_flags(flags.data, val.data, flags.dom,
+                                       distance, flagFrom, flagTo)
+    # int grids stay int (the reference kernel is templated; extrapolating
+    # a FlagGrid must keep it usable as flags afterwards)
+    val.data = out.astype(val.data.dtype)
 
 
 # ---------------------------------------------------------------------------

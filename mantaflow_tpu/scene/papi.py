@@ -188,6 +188,14 @@ class BasicParticleSystem:
 
     size = pySize
 
+    def multScalePos(self, factor: float):
+        """Scale all positions (grid-coordinate rescale when loading
+        particle data into a different-resolution solver, e.g. the
+        flip02->flip03_gen upres workflow)."""
+        import dataclasses
+        self.parts = dataclasses.replace(self.parts,
+                                         pos=self.parts.pos * float(factor))
+
     def clear(self):
         self.parts = cp.Particles(
             pos=jnp.zeros((self._capacity, 3), jnp.float32),

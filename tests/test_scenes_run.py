@@ -26,6 +26,19 @@ FAST_SCENES = [
     ("benchmark_wave.py", ["0.1"]),
     ("zflip.py", ["1", "5", "20"]),
     ("flip02_surface.py", ["4"]),
+    ("simpleplume.py", ["4"]),
+    ("plume_adaptDt.py", ["3"]),
+    ("apic01_simple.py", ["6"]),
+    ("waveEquation.py", ["8"]),
+    ("numpy_array_simple.py", ["4"]),
+    ("numpy_write_read.py", ["2"]),
+    ("flip04_adaptDt.py", ["2", "32"]),
+    ("flip05_nbflip.py", ["2", "32"]),
+    ("flip06_obstacle.py", ["2", "32"]),
+    ("surfaceTurbulence.py", ["2"]),
+    ("waveletTurbulenceObs.py", ["2"]),
+    ("guiding_3d01_low.py", ["2"]),
+    ("idp_apic02_3d.py", ["2", "32"]),
 ]
 
 
@@ -39,3 +52,23 @@ def test_scene_runs(scene, argv):
         capture_output=True, text=True, timeout=900, env=env)
     assert r.returncode == 0, (
         f"{scene} failed:\n{r.stdout[-2000:]}\n{r.stderr[-2000:]}")
+
+
+def test_flip02_to_flip03_gen_pipeline(tmp_path):
+    """flip02 (MANTA_SAVE_PARTS=1) -> flip03_gen surface generation chain:
+    particle .uni files round-trip into upres .bobj.gz meshes."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["MANTA_OUT"] = str(tmp_path)
+    env["MANTA_SAVE_PARTS"] = "1"
+    r = subprocess.run(
+        [sys.executable, os.path.join(SCENES_DIR, "flip02_surface.py"), "2"],
+        capture_output=True, text=True, timeout=900, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    env.pop("MANTA_SAVE_PARTS")
+    r = subprocess.run(
+        [sys.executable, os.path.join(SCENES_DIR, "flip03_gen.py"), "2"],
+        capture_output=True, text=True, timeout=900, env=env)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (tmp_path / "fluidsurface_final_0000.bobj.gz").exists()
+    assert (tmp_path / "fluidsurface_final_0001.bobj.gz").exists()
