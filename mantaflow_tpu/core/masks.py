@@ -8,30 +8,29 @@ combined with ``jnp.where``.
 
 from __future__ import annotations
 
-from functools import lru_cache
-
 import jax.numpy as jnp
 
 from .domain import Domain
 
 
-@lru_cache(maxsize=None)
-def _interior_mask_np(shape: tuple[int, int, int], bnd: int, is3d: bool):
-    import numpy as np
-    sz, sy, sx = shape
-    m = np.zeros(shape, dtype=bool)
-    if is3d:
-        m[bnd:sz - bnd, bnd:sy - bnd, bnd:sx - bnd] = True
-    else:
-        m[:, bnd:sy - bnd, bnd:sx - bnd] = True
-    return m
-
-
 def interior_mask(dom: Domain, bnd: int):
-    """Boolean [z,y,x] mask, True on cells a bnd=`bnd` kernel visits."""
+    """Boolean [z,y,x] mask, True on cells a bnd=`bnd` kernel visits.
+
+    Built from iota comparisons so that inside a trace it is PROGRAM (fused
+    compares), not a captured numpy constant — captured grid-sized consts
+    cost HBM reads on TPU and trip a jax 0.9.0 cpp-jit bug where a fresh
+    executable's lifted consts stop being supplied after any prior
+    fast-path dispatch ("supplied N buffers but expected M")."""
     if bnd <= 0:
         return jnp.ones(dom.shape, dtype=bool)
-    return jnp.asarray(_interior_mask_np(dom.shape, bnd, dom.is3d))
+    sz, sy, sx = dom.shape
+    ix = jnp.arange(sx, dtype=jnp.int32).reshape(1, 1, sx)
+    iy = jnp.arange(sy, dtype=jnp.int32).reshape(1, sy, 1)
+    m = ((ix >= bnd) & (ix < sx - bnd) & (iy >= bnd) & (iy < sy - bnd))
+    if dom.is3d:
+        iz = jnp.arange(sz, dtype=jnp.int32).reshape(sz, 1, 1)
+        m = m & (iz >= bnd) & (iz < sz - bnd)
+    return jnp.broadcast_to(m, dom.shape)
 
 
 def axis_index(dom: Domain, axis: str):

@@ -280,9 +280,15 @@ def advect_in_grid(parts: Particles, flags, vel, dt, dom: Domain,
     else:
         # KnClampPositions (particle.h:508-525)
         sz, sy, sx = dom.shape
-        hi = jnp.array([sx - 1.0, sy - 1.0, sz - 1.0], dtype=pos.dtype)
+        # per-column scalar bounds: scalars inline as HLO literals, while a
+        # (3,) jnp.array here would be hoisted to a device-const buffer
+        # (jax 0.9.0's cpp fast path drops such consts on non-first
+        # executables: "supplied N buffers but expected M")
+        clipped = jnp.stack([jnp.clip(pos[:, 0], 0.0, sx - 1.0),
+                             jnp.clip(pos[:, 1], 0.0, sy - 1.0),
+                             jnp.clip(pos[:, 2], 0.0, sz - 1.0)], axis=-1)
         out = ~_in_bounds(pos, dom, 0)
-        pos = jnp.where(out[:, None], jnp.clip(pos, 0.0, hi), pos)
+        pos = jnp.where(out[:, None], clipped, pos)
         if stop_in_obstacle:
             in_obs = (_flags_at(flags, pos, dom) & fl.TypeObstacle) != 0
             fixed = _bisect_backtrace(flags, x0, pos, dom)

@@ -32,7 +32,7 @@ from .advection import (_cell_centers, _maccormack_correct,
                         _maccormack_correct_mac, _axis_coord,
                         apply_outflow_bc)
 
-_BIG = jnp.float32(3.4e38)
+_BIG = float(3.4e38)  # python float: inlines as a literal, never a device-const buffer
 
 
 def _rel_weights(pos, coord, n: int, k: int):

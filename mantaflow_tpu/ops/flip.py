@@ -654,7 +654,8 @@ def get_curvature(grid, dom: Domain, h: float = 1.0):
 
 def add_force_pvel(pvel, accel, dt, ptype=None, exclude: int = 0):
     """addForcePvel (ptsplugins.cpp:26-30)."""
-    da = jnp.asarray(accel, jnp.float32) * dt
+    # scalar products (dt is traced), not a (3,) const array
+    da = jnp.stack([jnp.float32(a) * dt for a in tuple(accel)])
     upd = pvel + da[None, :]
     if ptype is not None:
         upd = jnp.where(((ptype & exclude) != 0)[:, None], pvel, upd)

@@ -43,7 +43,7 @@ from ..core.domain import Domain
 from ..core.masks import interior_mask
 from ..core.particles import Particles, make_particles
 
-_BIG = jnp.float32(1e10)
+_BIG = float(1e10)  # python float: inlines as a literal, never a device-const buffer
 
 
 @jax.tree_util.register_dataclass

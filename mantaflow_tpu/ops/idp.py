@@ -234,13 +234,10 @@ def map_mac_to_part_positions(parts: Particles, delta_x, flags, dom: Domain,
     dx = jnp.stack([u, v, w], axis=-1)
     new = pos + dx * dt
     sz, sy, sx = dom.shape
-    if dom.is3d:
-        lo = jnp.array([1.001, 1.001, 1.001], jnp.float32)
-        hi = jnp.array([sx - 1.001, sy - 1.001, sz - 1.001], jnp.float32)
-    else:
-        lo = jnp.array([1.001, 1.001, -10.001], jnp.float32)
-        hi = jnp.array([sx - 1.001, sy - 1.001, 10.001], jnp.float32)
-    new = jnp.clip(new, lo, hi)
+    zlo, zhi = (1.001, sz - 1.001) if dom.is3d else (-10.001, 10.001)
+    new = jnp.stack([jnp.clip(new[:, 0], 1.001, sx - 1.001),
+                     jnp.clip(new[:, 1], 1.001, sy - 1.001),
+                     jnp.clip(new[:, 2], zlo, zhi)], axis=-1)
     new = jnp.where(active[:, None], new, pos)
     return dataclasses.replace(parts, pos=new)
 

@@ -260,8 +260,9 @@ class BasicParticleSystem:
         dx = jnp.where(n > 1e-6, g / jnp.maximum(n, 1e-12) * (-n + 0.1), 0.0)
         new = pos + dx
         sz, sy, sx = self.dom.shape
-        hi = jnp.array([sx - 1.0, sy - 1.0, sz - 1.0])
-        new = jnp.clip(new, 1.0, hi)
+        new = jnp.stack([jnp.clip(new[:, 0], 1.0, sx - 1.0),
+                         jnp.clip(new[:, 1], 1.0, sy - 1.0),
+                         jnp.clip(new[:, 2], 1.0, sz - 1.0)], axis=-1)
         import dataclasses
         active = self.parts.active_mask()
         self.parts = dataclasses.replace(

@@ -95,3 +95,28 @@ def test_datagen_and_models(tmp_path):
     p = net.init(jax.random.PRNGKey(1), feats)
     logit, dvel = net.apply(p, feats)
     assert logit.shape == (10,) and dvel.shape == (10, 3)
+
+
+def test_create_dataset_cli(tmp_path):
+    """mantaGen create_dataset CLI: layout + description.json."""
+    from mantaflow_tpu.ml.create_dataset import main
+    out = main(["--name", "T", "-t", "smoke", "-n", "1", "-s", "2",
+                "--resolution", "16", "--datasets_path", str(tmp_path)])
+    import json
+    desc = json.load(open(os.path.join(out, "description.json")))
+    assert desc["type"] == "smoke" and desc["simulation_steps"] == 2
+    assert os.path.exists(os.path.join(out, "sim_000000",
+                                       "density_000001.npz"))
+
+
+def test_sr_end_to_end():
+    """example1 equivalent: sim -> tile pairs -> train -> full-frame upres."""
+    from mantaflow_tpu.ml import sr_example as sr
+    xs, ys = sr.generate_pairs(res=16, upres=2, n_frames=3, tile=4)
+    assert xs.shape[1:] == (4, 4, 4, 1) and ys.shape[1:] == (8, 8, 8, 1)
+    net, params, losses = sr.train_sr(xs, ys, upres=2, n_steps=60, batch=8)
+    assert np.mean(losses[-10:]) < np.mean(losses[:10])
+    hi = sr.apply_sr(net, params, xs[0][..., 0].repeat(2, 0).repeat(2, 1)
+                     .repeat(2, 2)[:8, :8, :8] * 0 + 0.5, tile=4)
+    assert hi.shape == (16, 16, 16)
+    assert np.isfinite(hi).all()
