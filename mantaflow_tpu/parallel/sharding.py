@@ -118,5 +118,42 @@ def shard_flip_state(state, mesh: Mesh):
         ts=place_ts(state.ts))
 
 
+def shard_flip_bucket_state(state, mesh: Mesh):
+    """Place a FlipBucketState on the mesh: grids z/y domain-decomposed,
+    bucket (PPC, T) arrays sharded along the flat-cell axis T over ALL mesh
+    devices. T is z-major (x fastest), so an all-device split of T is a
+    contiguous z-slab decomposition aligned with the grid sharding: the
+    rebin/transfer rolls (offsets <= sy*sx) only communicate at slab faces,
+    which GSPMD lowers to neighbor collective-permutes over ICI."""
+    import dataclasses
+    gs = NamedSharding(mesh, scalar_grid_spec(mesh))
+    ms = NamedSharding(mesh, mac_grid_spec(mesh))
+    rep = NamedSharding(mesh, P())
+    axes = tuple(mesh.axis_names)
+    bspec = NamedSharding(mesh, P(None, axes if len(axes) > 1 else axes[0]))
+
+    def place_buckets(bk):
+        return dataclasses.replace(
+            bk,
+            px=jax.device_put(bk.px, bspec), py=jax.device_put(bk.py, bspec),
+            pz=jax.device_put(bk.pz, bspec), vx=jax.device_put(bk.vx, bspec),
+            vy=jax.device_put(bk.vy, bspec), vz=jax.device_put(bk.vz, bspec),
+            valid=jax.device_put(bk.valid, bspec),
+            dropped=jax.device_put(bk.dropped, rep))
+
+    def place_ts(ts):
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), ts)
+
+    return dataclasses.replace(
+        state,
+        flags=jax.device_put(state.flags, gs),
+        vel=jax.device_put(state.vel, ms),
+        vel_old=jax.device_put(state.vel_old, ms),
+        pressure=jax.device_put(state.pressure, gs),
+        phi=jax.device_put(state.phi, gs),
+        buckets=place_buckets(state.buckets),
+        ts=place_ts(state.ts))
+
+
 def pad_to_multiple(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m

@@ -52,3 +52,34 @@ def test_flip_sharded_matches_single_device():
     d = ((p[:, 0] - res * 0.7) ** 2 + (p[:, 1] - res * 0.3) ** 2
          + (p[:, 2] - res * 0.5) ** 2) ** 0.5
     assert (d[act] < res * 0.15 - 1.5).sum() == 0
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_flip_bucketed_sharded_matches_single_device():
+    """Bucketed pipeline under the mesh: bucket arrays T-sharded (z-slabs),
+    grids z/y-decomposed; equality vs the single-device bucketed step."""
+    res = 16
+    dom = Domain(size=(res, res, res), dim=3)
+    params = flip.FlipParams(gravity=(0.0, -0.003, 0.0), ghost_fluid=True,
+                             cg_accuracy=1e-4, ring_only_obstacles=True)
+    state0 = flip.make_dam_state_bucketed(dom, params, discretization=2,
+                                          ppc=14)
+
+    step = jax.jit(lambda s: flip.flip_step_bucketed(s, dom, params))
+    ref = state0
+    for _ in range(3):
+        ref = step(ref)
+
+    mesh = shd.make_mesh(8)
+    sh = shd.shard_flip_bucket_state(state0, mesh)
+    for _ in range(3):
+        sh = step(sh)
+
+    assert int(sh.buckets.dropped) == 0
+    assert int(sh.buckets.count()) == int(ref.buckets.count())
+    np.testing.assert_allclose(np.asarray(ref.vel), np.asarray(sh.vel),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ref.phi), np.asarray(sh.phi),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ref.flags),
+                                  np.asarray(sh.flags))
