@@ -226,21 +226,23 @@ def flip_step_bucketed(state: FlipBucketState, dom: Domain,
                                 params.dt_max, params.frame_length)
     dt = ts.dt
 
-    if jax.default_backend() == "tpu":
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
         from ..ops import flip_bucket_pallas as fbp
+        from ..ops import flip_bucket_pallas2 as fbp2
         bk = fbp.advect_pallas(bk, flags, vel, dt, dom,
                                params.integration_mode,
                                stop_in_obstacle=True,
                                ring_only=params.ring_only_obstacles)
         bk = fbp.rebin_pallas(bk, dom)
+        vel, weight = fbp2.p2g_mac_pallas(bk, dom)
     else:
         bk = fb.advect_bucketed(bk, flags, vel, dt, dom,
                                 params.integration_mode,
                                 stop_in_obstacle=True,
                                 ring_only=params.ring_only_obstacles)
         bk = fb.rebin(bk, dom)
-
-    vel, weight = fb.p2g_mac(bk, dom)
+        vel, weight = fb.p2g_mac(bk, dom)
     vel_old = vel
     vel, _ = xtr.extrapolate_mac_from_weight(vel, weight, dom,
                                              params.extrap_weight_dist)
@@ -251,7 +253,10 @@ def flip_step_bucketed(state: FlipBucketState, dom: Domain,
 
     phi = state.phi
     if params.ghost_fluid:
-        phi = fb.union_levelset_bucketed(bk, dom, params.radius_factor)
+        if on_tpu:
+            phi = fbp2.union_levelset_pallas(bk, dom, params.radius_factor)
+        else:
+            phi = fb.union_levelset_bucketed(bk, dom, params.radius_factor)
         phi = xtr.extrapolate_ls_simple(phi, dom, distance=4, inside=True)
 
     vel = ext.set_wall_bcs(flags, vel, dom)
@@ -263,7 +268,12 @@ def flip_step_bucketed(state: FlipBucketState, dom: Domain,
     vel = ext.set_wall_bcs(flags, vel, dom)
     vel = xtr.extrapolate_mac_simple(flags, vel, dom, params.extrap_vel_dist)
 
-    bk = fb.flip_update_bucketed(bk, vel, vel_old, params.flip_ratio, dom)
+    if on_tpu:
+        bk = fbp2.flip_update_pallas(bk, vel, vel_old, params.flip_ratio,
+                                     dom)
+    else:
+        bk = fb.flip_update_bucketed(bk, vel, vel_old, params.flip_ratio,
+                                     dom)
 
     ts = slv.step(ts, params.frame_length)
     return FlipBucketState(flags=flags, vel=vel, vel_old=vel_old,

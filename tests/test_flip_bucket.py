@@ -118,3 +118,36 @@ def test_rebin_moves_particles():
     assert int(bk.count()) == 2
     counts = np.asarray(fb.counts_bucketed(bk, dom))
     assert counts[3, 3, 4] == 2  # both now in cell x=4 (4.1 and 4.7)
+
+
+def test_pallas_transfer_kernels_match_xla(dam16):
+    """Pallas p2g / union levelset / FLIP blend (ops/flip_bucket_pallas2.py,
+    interpret mode off-TPU) match the XLA bucket forms."""
+    import dataclasses
+    from mantaflow_tpu.ops import flip_bucket_pallas2 as fbp2
+    dom, _, st, bk = dam16
+    bk = dataclasses.replace(
+        bk, vx=jnp.where(bk.valid, bk.px * 0.01, 0.0),
+        vy=jnp.where(bk.valid, bk.py * 0.02 - 0.05, 0.0),
+        vz=jnp.where(bk.valid, bk.pz * 0.005, 0.0))
+
+    v_ref, w_ref = fb.p2g_mac(bk, dom)
+    v_pl, w_pl = fbp2.p2g_mac_pallas(bk, dom, interpret=True)
+    np.testing.assert_allclose(np.asarray(v_ref), np.asarray(v_pl),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(w_ref), np.asarray(w_pl),
+                               atol=1e-5)
+
+    phi_ref = fb.union_levelset_bucketed(bk, dom)
+    phi_pl = fbp2.union_levelset_pallas(bk, dom, interpret=True)
+    np.testing.assert_allclose(np.asarray(phi_ref), np.asarray(phi_pl),
+                               atol=1e-6)
+
+    rng = np.random.RandomState(0)
+    vel = jnp.asarray(rng.randn(3, *dom.shape).astype(np.float32)) * 0.01
+    vold = jnp.asarray(rng.randn(3, *dom.shape).astype(np.float32)) * 0.01
+    b_ref = fb.flip_update_bucketed(bk, vel, vold, 0.97, dom)
+    b_pl = fbp2.flip_update_pallas(bk, vel, vold, 0.97, dom, interpret=True)
+    for f in ("vx", "vy", "vz"):
+        np.testing.assert_allclose(np.asarray(getattr(b_ref, f)),
+                                   np.asarray(getattr(b_pl, f)), atol=1e-6)
