@@ -26,7 +26,7 @@ from ..core import flags as fl
 from ..core import mac as macops
 from ..core.domain import Domain
 from ..core.interp import interpol, interpol_mac
-from ..core.masks import interior_mask, shift
+from ..core.masks import axis_index, interior_mask, shift
 from ..core.particles import (PBUBBLE, PDELETE, PFOAM, PNEW, PSPRAY,
                               Particles)
 from .flip import _cell_of
@@ -408,3 +408,142 @@ def set_mac_from_levelset(vel, phi, dom: Domain, c):
     p = interpol(phi, x, y, z)
     m = p > 0
     return jnp.stack([jnp.where(m, c[i], vel[i]) for i in range(3)])
+
+
+# ---------------------------------------------------------------------------
+# Legacy per-potential kernels (secondaryparticles.cpp:540-701). Same physics
+# as compute_secondary_particle_potentials but with the legacy conventions:
+# jtype SELECTS neighbors (default fluid) instead of excluding them, the
+# distance falloff divides by the UNSCALED h = sqrt(dim)*radius, and each
+# potential is computed independently. Neighbors outside the grid contribute
+# nothing (the C++ kernels read out of bounds there; not reproducible).
+
+
+def _legacy_neighborhood(dom: Domain, radius: int):
+    zr = range(-radius, radius + 1) if dom.is3d else [0]
+    for dz in zr:
+        for dy in range(-radius, radius + 1):
+            for dx in range(-radius, radius + 1):
+                if dx == 0 and dy == 0 and dz == 0:
+                    continue
+                yield dx, dy, dz
+
+
+def _inb_shift(dom: Domain, dx: int, dy: int, dz: int):
+    """Mask: the neighbor at (+dx,+dy,+dz) exists (no wraparound reads)."""
+    sz, sy, sx = dom.shape
+    ix = axis_index(dom, "x")
+    iy = axis_index(dom, "y")
+    ok = ((ix + dx >= 0) & (ix + dx < sx) & (iy + dy >= 0) & (iy + dy < sy))
+    if dom.is3d:
+        iz = axis_index(dom, "z")
+        ok = ok & (iz + dz >= 0) & (iz + dz < sz)
+    return jnp.broadcast_to(ok, dom.shape)
+
+
+def compute_potential_trapped_air(flags, vel, dom: Domain, radius: int,
+                                  tau_min: float, tau_max: float,
+                                  scale_from_manta: float,
+                                  itype: int = fl.TypeFluid,
+                                  jtype: int = fl.TypeFluid):
+    """flipComputePotentialTrappedAir (secondaryparticles.cpp:541-588)."""
+    s = scale_from_manta
+    cc = macops.get_centered(vel)
+    vx, vy, vz = cc[0] * s, cc[1] * s, cc[2] * s
+    is_j = (flags & jtype) != 0
+    h = (1.732 if dom.is3d else 1.414) * radius
+
+    vdiff = jnp.zeros(dom.shape, jnp.float32)
+    for dx, dy, dz in _legacy_neighborhood(dom, radius):
+        def sh(a):
+            return shift(shift(shift(a, dx, "x"), dy, "y"), dz, "z")
+        ok = _inb_shift(dom, dx, dy, dz) & sh(is_j)
+        xij = (-s * dx, -s * dy, -s * dz)  # xi - xj
+        nxij = jnp.sqrt(sum(c * c for c in xij))
+        uxij = tuple(c / nxij for c in xij)
+        dvx, dvy, dvz = vx - sh(vx), vy - sh(vy), vz - sh(vz)
+        uvx, uvy, uvz, nvij = _normalized(dvx, dvy, dvz)
+        term = nvij * (1.0 - (uvx * uxij[0] + uvy * uxij[1]
+                              + uvz * uxij[2])) * (1.0 - nxij / h)
+        vdiff += jnp.where(ok, term, 0.0)
+
+    pot = _clamp_potential(vdiff, tau_min, tau_max)
+    m = ((flags & itype) != 0) & interior_mask(dom, 1)
+    return jnp.where(m, pot, 0.0)
+
+
+def compute_potential_kinetic_energy(flags, vel, dom: Domain,
+                                     tau_min: float, tau_max: float,
+                                     scale_from_manta: float,
+                                     itype: int = fl.TypeFluid):
+    """flipComputePotentialKineticEnergy (secondaryparticles.cpp:591-614)."""
+    s = scale_from_manta
+    cc = macops.get_centered(vel)
+    ek = 0.5 * 125.0 * ((cc[0] * s) ** 2 + (cc[1] * s) ** 2
+                        + (cc[2] * s) ** 2)
+    pot = _clamp_potential(ek, tau_min, tau_max)
+    return jnp.where((flags & itype) != 0, pot, 0.0)
+
+
+def compute_potential_wave_crest(flags, vel, dom: Domain, radius: int,
+                                 normal, tau_min: float, tau_max: float,
+                                 scale_from_manta: float,
+                                 itype: int = fl.TypeFluid,
+                                 jtype: int = fl.TypeFluid):
+    """flipComputePotentialWaveCrest (secondaryparticles.cpp:617-664)."""
+    s = scale_from_manta
+    cc = macops.get_centered(vel)
+    vx, vy, vz = cc[0] * s, cc[1] * s, cc[2] * s
+    nx, ny, nz = normal[0], normal[1], normal[2]
+    is_j = (flags & jtype) != 0
+    h = (1.732 if dom.is3d else 1.414) * radius
+
+    kappa = jnp.zeros(dom.shape, jnp.float32)
+    for dx, dy, dz in _legacy_neighborhood(dom, radius):
+        def sh(a):
+            return shift(shift(shift(a, dx, "x"), dy, "y"), dz, "z")
+        ok = _inb_shift(dom, dx, dy, dz) & sh(is_j)
+        xij = (-s * dx, -s * dy, -s * dz)
+        nxij = jnp.sqrt(sum(c * c for c in xij))
+        uxij = tuple(c / nxij for c in xij)
+        dotn = uxij[0] * nx + uxij[1] * ny + uxij[2] * nz
+        kterm = (1.0 - (nx * sh(nx) + ny * sh(ny) + nz * sh(nz))) \
+            * (1.0 - nxij / h)
+        kappa += jnp.where(ok & (dotn < 0), kterm, 0.0)
+
+    uvx, uvy, uvz, _ = _normalized(vx, vy, vz)
+    crest_ok = (uvx * nx + uvy * ny + uvz * nz) >= 0.6
+    pot = jnp.where(crest_ok, _clamp_potential(kappa, tau_min, tau_max), 0.0)
+    m = ((flags & itype) != 0) & interior_mask(dom, 1)
+    return jnp.where(m, pot, 0.0)
+
+
+def compute_surface_normals(phi, dom: Domain):
+    """flipComputeSurfaceNormals (secondaryparticles.cpp:667-676):
+    normalized central-difference gradient of the levelset."""
+    def d1(a, ax):
+        return 0.5 * (shift(a, 1, ax) - shift(a, -1, ax))
+    gx, gy = d1(phi, "x"), d1(phi, "y")
+    gz = d1(phi, "z") if dom.is3d else jnp.zeros_like(gx)
+    nx, ny, nz, _ = _normalized(gx, gy, gz)
+    return jnp.stack([nx, ny, nz])
+
+
+def update_neighbor_ratio(flags, dom: Domain, radius: int,
+                          itype: int = fl.TypeFluid,
+                          jtype: int = fl.TypeObstacle):
+    """flipUpdateNeighborRatio (secondaryparticles.cpp:679-701): fluid
+    neighbors over possible (non-jtype) neighbors."""
+    is_i = (flags & itype) != 0
+    is_j = (flags & jtype) != 0
+    count_fluid = jnp.zeros(dom.shape, jnp.float32)
+    count_max = jnp.zeros(dom.shape, jnp.float32)
+    for dx, dy, dz in _legacy_neighborhood(dom, radius):
+        def sh(a):
+            return shift(shift(shift(a, dx, "x"), dy, "y"), dz, "z")
+        ok = _inb_shift(dom, dx, dy, dz) & ~sh(is_j)
+        count_fluid += jnp.where(ok & sh(is_i), 1.0, 0.0)
+        count_max += jnp.where(ok, 1.0, 0.0)
+    ratio = count_fluid / jnp.maximum(count_max, 1.0)
+    m = is_i & interior_mask(dom, 1)
+    return jnp.where(m, ratio, 0.0)

@@ -625,6 +625,54 @@ def flipComputeSecondaryParticlePotentials(
         normal.data = nrm
 
 
+def flipComputePotentialTrappedAir(pot: RealGrid, flags: FlagGrid,
+                                   v: MACGrid, radius: int, tauMin: float,
+                                   tauMax: float, scaleFromManta: float,
+                                   itype: int = 1, jtype: int = 1):
+    """Legacy per-potential kernel (secondaryparticles.cpp:579)."""
+    from ..ops import whitewater as ww
+    pot.data = ww.compute_potential_trapped_air(
+        flags.data, v.data, flags.dom, radius, tauMin, tauMax,
+        scaleFromManta, itype, jtype)
+
+
+def flipComputePotentialKineticEnergy(pot: RealGrid, flags: FlagGrid,
+                                      v: MACGrid, tauMin: float,
+                                      tauMax: float, scaleFromManta: float,
+                                      itype: int = 1):
+    """Legacy per-potential kernel (secondaryparticles.cpp:604)."""
+    from ..ops import whitewater as ww
+    pot.data = ww.compute_potential_kinetic_energy(
+        flags.data, v.data, flags.dom, tauMin, tauMax, scaleFromManta,
+        itype)
+
+
+def flipComputePotentialWaveCrest(pot: RealGrid, flags: FlagGrid,
+                                  v: MACGrid, radius: int, normal,
+                                  tauMin: float, tauMax: float,
+                                  scaleFromManta: float, itype: int = 1,
+                                  jtype: int = 1):
+    """Legacy per-potential kernel (secondaryparticles.cpp:650)."""
+    from ..ops import whitewater as ww
+    pot.data = ww.compute_potential_wave_crest(
+        flags.data, v.data, flags.dom, radius, normal.data, tauMin, tauMax,
+        scaleFromManta, itype, jtype)
+
+
+def flipComputeSurfaceNormals(normal, phi: LevelsetGrid):
+    """Legacy normal computation (secondaryparticles.cpp:667-676)."""
+    from ..ops import whitewater as ww
+    normal.data = ww.compute_surface_normals(phi.data, phi.dom)
+
+
+def flipUpdateNeighborRatio(flags: FlagGrid, neighborRatio: RealGrid,
+                            radius: int, itype: int = 1, jtype: int = 2):
+    """Legacy neighbor-ratio kernel (secondaryparticles.cpp:679-701)."""
+    from ..ops import whitewater as ww
+    neighborRatio.data = ww.update_neighbor_ratio(flags.data, flags.dom,
+                                                  radius, itype, jtype)
+
+
 def flipSampleSecondaryParticles(
         mode: str, flags: FlagGrid, v: MACGrid, pts_sec: BasicParticleSystem,
         v_sec: PdataVec3, l_sec: PdataReal, lMin: float, lMax: float,

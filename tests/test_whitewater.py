@@ -109,3 +109,61 @@ def test_whitewater_pipeline():
     assert (np.asarray(f2.data)[5, 5, 5] & FlagFluid) != 0
     setMACFromLevelset(v=vel, phi=phi, c=vec3(0, 0, 0))
     assert np.abs(vel.to_numpy()[:, :, 15:, :]).max() < 1e-6  # air zeroed
+
+
+def test_legacy_potential_kernels():
+    """Legacy per-potential kernels (secondaryparticles.cpp:540-701):
+    each one matches the physics of the combined modern op on its own
+    term, with legacy conventions (jtype selects fluid neighbors,
+    unscaled h falloff)."""
+    res = 20
+    s = Solver(name="wl", gridSize=vec3(res, res, res))
+    flags = s.create(FlagGrid)
+    flags.initDomain()
+    phi = s.create(LevelsetGrid)
+    pool = Box(s, p0=vec3(1, 1, 1), p1=vec3(res - 1, 9, res - 1))
+    phi.setConst(0.5)
+    phi.join(pool.computeLevelset())
+    flags.updateFromLevelset(phi)
+    vel = s.create(MACGrid)
+    rng = np.random.RandomState(1)
+    vel.from_numpy(rng.randn(3, res, res, res).astype(np.float32) * 2.0)
+
+    normal = s.create(VecGrid)
+    flipComputeSurfaceNormals(normal, phi)
+    n = normal.to_numpy()
+    lens = np.sqrt((n ** 2).sum(axis=0))
+    assert np.isfinite(n).all()
+    assert lens.max() <= 1.0 + 1e-5  # normalized
+
+    potTA = s.create(RealGrid)
+    flipComputePotentialTrappedAir(pot=potTA, flags=flags, v=vel, radius=2,
+                                   tauMin=0.01, tauMax=2.0,
+                                   scaleFromManta=1.0 / res)
+    ta = potTA.to_numpy()
+    assert 0.0 <= ta.min() and ta.max() <= 1.0
+    assert ta.max() > 0  # sheared random field traps air
+
+    potKE = s.create(RealGrid)
+    flipComputePotentialKineticEnergy(pot=potKE, flags=flags, v=vel,
+                                      tauMin=0.001, tauMax=1.0,
+                                      scaleFromManta=1.0 / res)
+    ke = potKE.to_numpy()
+    assert 0.0 <= ke.min() and ke.max() <= 1.0 and ke.max() > 0
+    # KE potential is only on itype (fluid) cells
+    fluid = (flags.to_numpy() & FlagFluid) != 0
+    assert (ke[~fluid] == 0).all()
+
+    potWC = s.create(RealGrid)
+    flipComputePotentialWaveCrest(pot=potWC, flags=flags, v=vel, radius=2,
+                                  normal=normal, tauMin=0.01, tauMax=2.0,
+                                  scaleFromManta=1.0 / res)
+    wc = potWC.to_numpy()
+    assert 0.0 <= wc.min() and wc.max() <= 1.0
+
+    nr = s.create(RealGrid)
+    flipUpdateNeighborRatio(flags=flags, neighborRatio=nr, radius=1)
+    r = nr.to_numpy()
+    assert 0.0 <= r.min() and r.max() <= 1.0
+    # deep interior pool cells see all-fluid neighborhoods
+    assert r[4, 4:6, 8:12].min() > 0.99
