@@ -206,6 +206,10 @@ def make_dam_state_bucketed(dom: Domain, params: FlipParams,
                             randomness: float = 0.05,
                             boundary_width: int = 0, dt: float = 0.5,
                             obstacle=None, ppc: int = 12) -> FlipBucketState:
+    if params.ring_only_obstacles and obstacle is not None:
+        raise ValueError("ring_only_obstacles promises no interior "
+                         "obstacles; stamping an obstacle shape breaks the "
+                         "bounds-test shortcut (see ops/flip_bucket.py)")
     st = make_dam_state(dom, params, dam_frac, discretization, randomness,
                         boundary_width, dt, obstacle)
     buckets = fb.bin_from_particles(st.parts, st.pvel, dom, ppc=ppc)
