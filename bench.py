@@ -131,6 +131,13 @@ def main():
                                cg_accuracy=1e-3,
                                window=3, use_pallas=True,
                                adaptive_dt=True, cfl=3.0, dt_max=2.0)
+    if os.environ.get("BENCH_SMOKE_PC"):  # A/B the CG preconditioner
+        from mantaflow_tpu.ops import pressure as prs
+        import dataclasses as _dc
+        pc = {"none": prs.PcNone, "mg": prs.PcMGStatic,
+              "mgdyn": prs.PcMGDynamic}[os.environ["BENCH_SMOKE_PC"]]
+        params = _dc.replace(params, preconditioner=pc) \
+            if hasattr(params, "preconditioner") else params
     src = Sphere(center=(res / 2.0, res * 0.1, res / 2.0), radius=res * 0.14)
     state = smoke.make_smoke_state(dom, params, source_shape=src)
 

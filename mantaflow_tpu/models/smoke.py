@@ -38,6 +38,8 @@ class SmokeParams:
     vorticity_confinement: float = 0.0
     cg_accuracy: float = 1e-3
     cg_max_iter_fac: float = 1.5
+    preconditioner: int = 0  # prs.PcNone; PcMGStatic trades V-cycle cost
+                             # for CG iterations (A/B via BENCH_SMOKE_PC)
     open_bound: str = ""  # e.g. "yY" for the 2D plume
     # window > 0 selects the fast shift-select advection path
     # (ops/advection_fast.py); must be >= max CFL of the run
@@ -141,7 +143,8 @@ def smoke_step(state: SmokeState, dom: Domain, params: SmokeParams) -> SmokeStat
 
     vel, pressure, _, _, _ = prs.solve_pressure(
         vel, flags, dom, cg_accuracy=params.cg_accuracy,
-        cg_max_iter_fac=params.cg_max_iter_fac)
+        cg_max_iter_fac=params.cg_max_iter_fac,
+        preconditioner=params.preconditioner)
 
     if params.dissolve_speed > 0:
         density, _ = ext.dissolve_smoke(flags, density, dom, None,
