@@ -221,14 +221,31 @@ def make_dam_state_bucketed(dom: Domain, params: FlipParams,
 def flip_step_bucketed(state: FlipBucketState, dom: Domain,
                        params: FlipParams) -> FlipBucketState:
     """flip_step on the bucket layout (same op order as flip_step /
-    scenes/flip01_simple.py:47-68); FLIP blend only (no APIC channel yet)."""
+    scenes/flip01_simple.py:47-68); FLIP blend only (no APIC channel yet).
+
+    The bucket layout relies on the CFL<=1 contract: particles move at most
+    one cell per step (advect clamps displacements to guarantee the rebin's
+    +-1 window). A violation is surfaced at runtime through
+    ``buckets.dropped`` (incremented by 10^6 per offending step), and
+    configs that can't honor it statically are rejected here."""
+    if params.apic:
+        raise ValueError("flip_step_bucketed implements the FLIP blend "
+                         "only; use flip_step for APIC (params.apic)")
+    if params.adaptive_dt and params.cfl > 1.0:
+        raise ValueError(f"bucketed layout needs cfl <= 1 (got "
+                         f"{params.cfl}): particles may only move one cell "
+                         "per step (rebin window contract)")
     flags, vel, bk, ts = state.flags, state.vel, state.buckets, state.ts
 
+    max_vel = jnp.sqrt(jnp.max(vel[0] ** 2 + vel[1] ** 2 + vel[2] ** 2))
     if params.adaptive_dt:
-        max_vel = jnp.sqrt(jnp.max(vel[0] ** 2 + vel[1] ** 2 + vel[2] ** 2))
         ts = slv.adapt_timestep(ts, max_vel, params.cfl, params.dt_min,
                                 params.dt_max, params.frame_length)
     dt = ts.dt
+    # runtime CFL-contract check: grid velocity implies >1-cell movement;
+    # the advection clamp would silently truncate motion, so flag it loudly
+    viol = (max_vel * dt > 1.0).astype(jnp.int32)
+    bk = dataclasses.replace(bk, dropped=bk.dropped + 1_000_000 * viol)
 
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu:

@@ -530,10 +530,13 @@ def mark_fluid_cells_bucketed(bk: Buckets, flags, dom: Domain):
 def union_levelset_bucketed(bk: Buckets, dom: Domain,
                             radius_factor: float = 1.0):
     """unionParticleLevelset (flip.cpp:300-363): per-cell min of
-    |center - p| - radius over the 27-neighborhood buckets."""
+    |center - p| - radius over the (2*rw+1)^3 neighborhood buckets, with
+    rw = int(radius)+1 cells so the window covers the particle radius
+    (matches the flat path's widening for radius_factor > ~1.14)."""
     sz, sy, sx = dom.shape
     radius = 0.5 * ((math.sqrt(3.0) if dom.is3d else math.sqrt(2.0))
                     * (radius_factor + 0.01))
+    rw = int(radius) + 1
     ccx, ccy, ccz = _cell_centers(dom)
     # squared-distance form: offsets relative to the particle's OWN cell
     # center are computed once; each neighborhood offset is then 3 FMAs and
@@ -543,16 +546,25 @@ def union_levelset_bucketed(bk: Buckets, dom: Domain,
     ez = jnp.where(bk.valid, bk.pz - ccz[None, :], 0.0)
     r2 = ex * ex + ey * ey + ez * ez
     d2min = jnp.full((bk.ncells,), _BIG)
-    for dz in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
+    cx, cy, cz = _cell_coords(dom)
+    taps = range(-rw, rw + 1)
+    for dz in taps:
+        for dy in taps:
+            for dx in taps:
                 off = (dz * sy + dy) * sx + dx
                 # distance^2 from own-bucket particles to center of c+d,
                 # folded to the destination cell with a (T,) roll
                 c2 = float(dx * dx + dy * dy + dz * dz)
                 d2 = r2 - 2.0 * (ex * dx + ey * dy + ez * dz) + c2
                 part = jnp.min(jnp.where(bk.valid, d2, _BIG), axis=0)
-                d2min = jnp.minimum(d2min, jnp.roll(part, off))
+                rolled = jnp.roll(part, off)
+                # guard the roll's wraparound: the source cell c-d must
+                # exist (for rw >= 2 wrapped rows reach past the masked
+                # bnd=1 ring)
+                src_ok = ((cx - dx >= 0) & (cx - dx < sx)
+                          & (cy - dy >= 0) & (cy - dy < sy)
+                          & (cz - dz >= 0) & (cz - dz < sz))
+                d2min = jnp.minimum(d2min, jnp.where(src_ok, rolled, _BIG))
     phi = jnp.where(d2min >= _BIG, radius,
                     jnp.sqrt(jnp.maximum(d2min, 0.0)) - radius)
     phi = jnp.minimum(phi, radius).reshape(dom.shape)

@@ -28,32 +28,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core import flags as fl
 from ..core.domain import Domain
+# single source of truth for BUILD_INDEX clamping and the per-drift window
+# tap tables: the Pallas kernels must stay bit-identical to the XLA path
+from .flip_bucket import _MAC_SHIFTS, _TAPS, _axw
+from .flip_bucket import _tap_weights as _tapw
 
-# window taps per stage drift (see flip_bucket._TAPS)
-_TAPS = {
-    0.0: ((0, 1), (-1, 0, 1), (0,)),
-    0.5: ((-1, 0, 1, 2), (-1, 0, 1), (-1, 0, 1)),
-    1.0: ((-1, 0, 1, 2), (-2, -1, 0, 1, 2), (-1, 0, 1)),
-}
 _PAD = 2  # halo padding on every grid axis
-_MAC_SHIFTS = ((0.0, 0.5, 0.5), (0.5, 0.0, 0.5), (0.5, 0.5, 0.0))
-
-
-def _axw(p, n: int):
-    idx = p.astype(jnp.int32)
-    w = p - idx.astype(p.dtype)
-    lo = p < 0.0
-    idx = jnp.where(lo, 0, idx)
-    w = jnp.where(lo, jnp.zeros_like(w), w)
-    hi = p >= (n - 1)
-    idx = jnp.where(hi, n - 2, idx)
-    w = jnp.where(hi, jnp.ones_like(w), w)
-    return idx, w
-
-
-def _tapw(rel, w1, taps):
-    return [jnp.where(rel == d, 1.0 - w1, 0.0)
-            + jnp.where(rel == (d - 1), w1, 0.0) for d in taps]
 
 
 def _advect_kernel(dt_ref, velp_ref, obsp_ref, px_ref, py_ref, pz_ref,

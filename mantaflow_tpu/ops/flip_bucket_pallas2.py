@@ -34,29 +34,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.domain import Domain
-
-_MAC_SHIFTS = ((0.0, 0.5, 0.5), (0.5, 0.0, 0.5), (0.5, 0.5, 0.0))
-_T0_OWN = (0, 1)
-_T0_CROSS = (-1, 0, 1)
-_PAD = 2
-_BIG = float(1e10)
-
-
-def _axw(p, n: int):
-    idx = p.astype(jnp.int32)
-    w = p - idx.astype(p.dtype)
-    lo = p < 0.0
-    idx = jnp.where(lo, 0, idx)
-    w = jnp.where(lo, jnp.zeros_like(w), w)
-    hi = p >= (n - 1)
-    idx = jnp.where(hi, n - 2, idx)
-    w = jnp.where(hi, jnp.ones_like(w), w)
-    return idx, w
-
-
-def _tapw(rel, w1, taps):
-    return [jnp.where(rel == d, 1.0 - w1, 0.0)
-            + jnp.where(rel == (d - 1), w1, 0.0) for d in taps]
+# shared BUILD_INDEX / tap-table helpers (see flip_bucket_pallas note)
+from .flip_bucket import _BIG, _MAC_SHIFTS, _T0_CROSS, _T0_OWN, _axw
+from .flip_bucket import _tap_weights as _tapw
+from .flip_bucket_pallas import _PAD
 
 
 # ---------------------------------------------------------------------------
@@ -102,22 +83,15 @@ def _p2g_kernel(px_ref, py_ref, pz_ref, vx_ref, vy_ref, vz_ref, val_ref,
             # per-destination-row partials reduced over buckets in VMEM
             acc_rows = jnp.zeros((sy, sx), jnp.float32)
             w_rows = jnp.zeros((sy, sx), jnp.float32)
-            got = False
             for iy, dy in enumerate(ty):
                 wzy = wz[iz] * wy[iy] * af
                 for ix, dx in enumerate(tx):
                     w = wzy * wx[ix]
                     # shift the (y, x) contribution by (dy, dx) into the
                     # destination frame: pad-free static roll via slices
-                    wsum = jnp.sum(w, axis=0)
-                    vsum = jnp.sum(w * vc, axis=0)
-                    for arr, tgt in ((wsum, 'w'), (vsum, 'v')):
-                        sh = _shift2(arr, dy, dx)
-                        if tgt == 'w':
-                            w_rows = w_rows + sh
-                        else:
-                            acc_rows = acc_rows + sh
-                    got = True
+                    w_rows = w_rows + _shift2(jnp.sum(w, axis=0), dy, dx)
+                    acc_rows = acc_rows + _shift2(jnp.sum(w * vc, axis=0),
+                                                  dy, dx)
             zt = k + dz
             ok = (zt >= 0) & (zt < sz)
             zt_c = jnp.clip(zt, 0, sz - 1)
@@ -130,23 +104,24 @@ def _p2g_kernel(px_ref, py_ref, pz_ref, vx_ref, vy_ref, vz_ref, val_ref,
                 wacc_ref[c, zt_c] = curw + w_rows
 
 
-def _shift2(a, dy: int, dx: int):
-    """Shift a (sy, sx) slab by (+dy, +dx) with zero fill (destination-frame
-    placement of a source contribution)."""
+def _shift2(a, dy: int, dx: int, fill=0.0):
+    """Shift a (sy, sx) slab by (+dy, +dx), filling vacated rows/cols with
+    `fill` (0 for sums, _BIG for mins): destination-frame placement of a
+    source contribution without wraparound."""
     sy, sx = a.shape
     out = a
     if dx:
-        z = jnp.zeros_like(out)
+        f = jnp.full_like(out, fill)
         if dx > 0:
-            out = jnp.concatenate([z[:, :dx], out[:, :sx - dx]], axis=1)
+            out = jnp.concatenate([f[:, :dx], out[:, :sx - dx]], axis=1)
         else:
-            out = jnp.concatenate([out[:, -dx:], z[:, :(-dx)]], axis=1)
+            out = jnp.concatenate([out[:, -dx:], f[:, :(-dx)]], axis=1)
     if dy:
-        z = jnp.zeros_like(out)
+        f = jnp.full_like(out, fill)
         if dy > 0:
-            out = jnp.concatenate([z[:dy], out[:sy - dy]], axis=0)
+            out = jnp.concatenate([f[:dy], out[:sy - dy]], axis=0)
         else:
-            out = jnp.concatenate([out[-dy:], z[:(-dy)]], axis=0)
+            out = jnp.concatenate([out[-dy:], f[:(-dy)]], axis=0)
     return out
 
 
@@ -182,7 +157,7 @@ def p2g_mac_pallas(bk, dom: Domain, interpret: bool = False):
 # union particle levelset
 
 
-def _ls_kernel(px_ref, py_ref, pz_ref, val_ref, d2_ref, *, shape, ppc):
+def _ls_kernel(px_ref, py_ref, pz_ref, val_ref, d2_ref, *, shape, ppc, rw):
     sz, sy, sx = shape
     k = pl.program_id(0)
     P = ppc
@@ -200,14 +175,15 @@ def _ls_kernel(px_ref, py_ref, pz_ref, val_ref, d2_ref, *, shape, ppc):
     r2 = ex * ex + ey * ey + ez * ez
     big = jnp.float32(_BIG)
 
-    for dz in (-1, 0, 1):
+    taps = range(-rw, rw + 1)
+    for dz in taps:
         rows = None
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
+        for dy in taps:
+            for dx in taps:
                 c2 = float(dx * dx + dy * dy + dz * dz)
                 d2 = r2 - 2.0 * (ex * dx + ey * dy + ez * dz) + c2
                 part = jnp.min(jnp.where(valid, d2, big), axis=0)
-                sh = _shift2_min(part, dy, dx, big)
+                sh = _shift2(part, dy, dx, fill=big)
                 rows = sh if rows is None else jnp.minimum(rows, sh)
         zt = k + dz
         ok = (zt >= 0) & (zt < sz)
@@ -218,24 +194,6 @@ def _ls_kernel(px_ref, py_ref, pz_ref, val_ref, d2_ref, *, shape, ppc):
             d2_ref[zt_c] = jnp.minimum(d2_ref[zt_c], rows)
 
 
-def _shift2_min(a, dy: int, dx: int, fill):
-    sy, sx = a.shape
-    out = a
-    if dx:
-        f = jnp.full_like(out, fill)
-        if dx > 0:
-            out = jnp.concatenate([f[:, :dx], out[:, :sx - dx]], axis=1)
-        else:
-            out = jnp.concatenate([out[:, -dx:], f[:, :(-dx)]], axis=1)
-    if dy:
-        f = jnp.full_like(out, fill)
-        if dy > 0:
-            out = jnp.concatenate([f[:dy], out[:sy - dy]], axis=0)
-        else:
-            out = jnp.concatenate([out[-dy:], f[:(-dy)]], axis=0)
-    return out
-
-
 def union_levelset_pallas(bk, dom: Domain, radius_factor: float = 1.0,
                           interpret: bool = False):
     """Drop-in for flip_bucket.union_levelset_bucketed."""
@@ -244,6 +202,7 @@ def union_levelset_pallas(bk, dom: Domain, radius_factor: float = 1.0,
     P = bk.ppc
     radius = 0.5 * ((math.sqrt(3.0) if dom.is3d else math.sqrt(2.0))
                     * (radius_factor + 0.01))
+    rw = int(radius) + 1  # window covers the particle radius (flat-path r)
 
     def resh(a):
         return a.reshape(P, sz, sy, sx)
@@ -252,7 +211,7 @@ def union_levelset_pallas(bk, dom: Domain, radius_factor: float = 1.0,
                         memory_space=pltpu.VMEM)
     full = pl.BlockSpec((sz, sy, sx), lambda k: (0, 0, 0),
                         memory_space=pltpu.VMEM)
-    kern = functools.partial(_ls_kernel, shape=dom.shape, ppc=P)
+    kern = functools.partial(_ls_kernel, shape=dom.shape, ppc=P, rw=rw)
     d2min = pl.pallas_call(
         kern,
         grid=(sz,),

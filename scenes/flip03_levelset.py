@@ -1,5 +1,7 @@
 # FLIP liquid with particle levelset and ghost-fluid surface (flip02/03
 # pattern). Run: PYTHONPATH=. python scenes/flip03_levelset.py
+import os
+
 from mantaflow_tpu import *
 
 dim, res = 3, 48
@@ -54,4 +56,6 @@ for t in range(120):
     s.step()
     if s.frame % 20 == 0:
         phi.createMesh(mesh)
-        mesh.save("flip_surface_%04d.bobj.gz" % s.frame)
+        out = os.environ.get("MANTA_OUT", "/tmp/flip03_out")
+        os.makedirs(out, exist_ok=True)
+        mesh.save(os.path.join(out, "flip_surface_%04d.bobj.gz") % s.frame)

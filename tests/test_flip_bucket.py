@@ -151,3 +151,38 @@ def test_pallas_transfer_kernels_match_xla(dam16):
     for f in ("vx", "vy", "vz"):
         np.testing.assert_allclose(np.asarray(getattr(b_ref, f)),
                                    np.asarray(getattr(b_pl, f)), atol=1e-6)
+
+
+def test_union_levelset_wide_radius(dam16):
+    """radius_factor > ~1.14 needs a 2-cell window: bucketed (XLA + Pallas)
+    must match the flat path's widened neighborhood."""
+    from mantaflow_tpu.ops import flip_bucket_pallas2 as fbp2
+    dom, _, st, bk = dam16
+    phi_f = fo.union_particle_levelset(st.parts, st.flags, dom, 1.5)
+    phi_b = fb.union_levelset_bucketed(bk, dom, 1.5)
+    np.testing.assert_allclose(np.asarray(phi_f), np.asarray(phi_b),
+                               atol=1e-5)
+    phi_p = fbp2.union_levelset_pallas(bk, dom, 1.5, interpret=True)
+    np.testing.assert_allclose(np.asarray(phi_b), np.asarray(phi_p),
+                               atol=1e-6)
+
+
+def test_bucketed_guards():
+    """apic and cfl>1 configs are rejected; CFL-contract violations are
+    surfaced through buckets.dropped."""
+    import pytest
+    dom = Domain(size=(12, 12, 12), dim=3)
+    p_apic = flip.FlipParams(apic=True)
+    st = flip.make_dam_state_bucketed(dom, flip.FlipParams())
+    with pytest.raises(ValueError, match="FLIP blend"):
+        flip.flip_step_bucketed(st, dom, p_apic)
+    with pytest.raises(ValueError, match="cfl"):
+        flip.flip_step_bucketed(st, dom,
+                                flip.FlipParams(adaptive_dt=True, cfl=3.0))
+    # violate the contract at runtime: huge grid velocity, fixed dt
+    st2 = flip.make_dam_state_bucketed(dom, flip.FlipParams())
+    st2 = flip.FlipBucketState(
+        flags=st2.flags, vel=st2.vel + 10.0, vel_old=st2.vel_old,
+        pressure=st2.pressure, phi=st2.phi, buckets=st2.buckets, ts=st2.ts)
+    out = flip.flip_step_bucketed(st2, dom, flip.FlipParams(ghost_fluid=True))
+    assert int(out.buckets.dropped) >= 1_000_000
