@@ -103,7 +103,7 @@ def bench_flip():
     baseline = rec.get("flip64_steps_per_sec_multicore_est", 0.0)
     print(json.dumps({
         "metric": f"FLIP dam steps/sec @ {res}^3 (~{n_parts // 1000}k"
-                  " particles, RK4+p2g+CG 1e-3 ghost fluid)"
+                  f" particles, {mode} layout, RK4+p2g+CG 1e-3 ghost fluid)"
                   " vs 16-core-CPU reference estimate",
         "value": round(steps_per_sec, 4),
         "unit": "steps/sec",
@@ -168,16 +168,26 @@ def main():
     if not baseline:
         baseline = rec.get("smoke128_steps_per_sec", 0.0) * 11.0
 
-    print(json.dumps({
+    line = json.dumps({
         "metric": f"smoke sim steps/sec @ {res}^3 (MacCormack+vconf+CG 1e-3)"
                   " vs 16-core-CPU reference estimate",
         "value": round(steps_per_sec, 4),
         "unit": "steps/sec",
         "vs_baseline": round(steps_per_sec / baseline, 3) if baseline else 0.0,
-    }), flush=True)
+    })
+    print(line, flush=True)
+    return line
 
 
 if __name__ == "__main__":
+    # smoke (the headline metric) runs FIRST so a FLIP-side failure can't
+    # lose it; its JSON is re-printed LAST because the driver records the
+    # last line.
+    headline = main()
     if os.environ.get("BENCH_SKIP_FLIP", "") != "1":
-        bench_flip()
-    main()
+        try:
+            bench_flip()
+        except Exception as e:
+            print(f"# bench_flip failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+    print(headline, flush=True)
