@@ -200,7 +200,7 @@ def _window_pass_call(src, px, py, pz, ok_mask, k: int,
 
     blk = pl.BlockSpec((bz, sy, sx), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM)
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
     out_shapes = [jax.ShapeDtypeStruct((zp, sy, sx), jnp.float32)]
     out_specs = [blk]
     if want_minmax:
