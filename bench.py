@@ -80,10 +80,11 @@ def bench_flip():
                              ring_only_obstacles=True)  # dam: no interior obs
 
     if mode == "auto":
-        rate_f, _ = _time_steps(*_flip_setup("flat", dom, params)[:2], 3)
+        setups = {"flat": _flip_setup("flat", dom, params)}
+        rate_f, _ = _time_steps(*setups["flat"][:2], 3)
         try:
-            rate_b, st_b = _time_steps(*_flip_setup("bucket", dom,
-                                                    params)[:2], 3)
+            setups["bucket"] = _flip_setup("bucket", dom, params)
+            rate_b, st_b = _time_steps(*setups["bucket"][:2], 3)
             if int(st_b.buckets.dropped) != 0:
                 rate_b = 0.0
         except Exception as e:  # bucketed path unavailable on this backend
@@ -93,8 +94,10 @@ def bench_flip():
         mode = "bucket" if rate_b > rate_f else "flat"
         print(f"# auto: flat {rate_f:.2f} vs bucket {rate_b:.2f} steps/s "
               f"-> {mode}", file=sys.stderr, flush=True)
-
-    state, step, n_parts = _flip_setup(mode, dom, params)
+        # reuse the probe's compiled step (a fresh lambda would recompile)
+        state, step, n_parts = setups[mode]
+    else:
+        state, step, n_parts = _flip_setup(mode, dom, params)
     steps_per_sec, state = _time_steps(state, step, n_steps)
     if mode == "bucket":
         assert int(state.buckets.dropped) == 0, "bucket overflow in bench"
