@@ -213,3 +213,35 @@ def test_marching_cubes_interior_watertight_random():
     open_edges = uniq[cnt != 2]
     p = nodes[open_edges.reshape(-1)]
     assert ((p <= 1.0) | (p >= 8.0)).any(axis=1).all()
+
+
+def test_marching_cubes_matches_reference_binary():
+    """Bit-parity with the reference binary's createMesh: identical vertex
+    set (1.4e-3 cells) AND identical oriented triangles on a two-sphere
+    blob levelset (goldens generated by the locally built binary)."""
+    import os
+    from mantaflow_tpu.core.mesh import marching_cubes
+    from mantaflow_tpu.io.uni import read_grid_uni, read_mesh_obj
+    d = os.path.join(os.path.dirname(__file__), "testdata_ref")
+    phi, _ = read_grid_uni(os.path.join(d, "mc_blob_phi.uni"))
+    nodes, tris = marching_cubes(np.asarray(phi))
+    rn, rt = read_mesh_obj(os.path.join(d, "mc_blob_ref.obj"))
+    assert len(nodes) == len(rn) and len(tris) == len(rt)
+    # the binary saves obj in centered world coords: (grid - gs/2) * dx
+    cand = (nodes - 16.0) / 32.0
+    d2 = ((cand[None, :, :] - rn[:, None, :]) ** 2).sum(-1)
+    nn = np.sqrt(d2.min(axis=1))
+    assert nn.max() * 32 < 5e-3  # vertices identical to float noise
+    ours_of_ref = d2.argmin(axis=1)
+    assert len(set(ours_of_ref.tolist())) == len(rn)  # bijection
+    ref_of_ours = np.empty(len(nodes), int)
+    ref_of_ours[ours_of_ref] = np.arange(len(rn))
+    mapped = ref_of_ours[tris]
+
+    def cyc(t):
+        i = int(np.argmin(t))
+        return (t[i], t[(i + 1) % 3], t[(i + 2) % 3])
+
+    A = set(cyc(t) for t in mapped)
+    B = set(cyc(t) for t in np.asarray(rt))
+    assert A == B  # identical oriented triangulation
