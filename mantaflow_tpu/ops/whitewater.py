@@ -53,11 +53,15 @@ def compute_secondary_particle_potentials(
         jtype: int = fl.TypeObstacle | fl.TypeOutflow | fl.TypeInflow):
     """Returns (potTA, potWC, potKE, neighborRatio, normal)."""
     s = scale_from_manta
-    # surface normal = normalized grad(phi) (GradientOp)
+    # surface normal = normalized grad(phi); GradientOp is a bnd=1 kernel
+    # over a cleared grid, so the boundary ring holds zero normals
     def d1(a, ax):
         return 0.5 * (shift(a, 1, ax) - shift(a, -1, ax))
-    gx, gy = d1(phi, "x"), d1(phi, "y")
-    gz = d1(phi, "z") if dom.is3d else jnp.zeros_like(gx)
+    inter1 = interior_mask(dom, 1)
+    gx = jnp.where(inter1, d1(phi, "x"), 0.0)
+    gy = jnp.where(inter1, d1(phi, "y"), 0.0)
+    gz = jnp.where(inter1, d1(phi, "z"), 0.0) if dom.is3d \
+        else jnp.zeros_like(gx)
     nx, ny, nz, _ = _normalized(gx, gy, gz)
 
     cc = macops.get_centered(vel)
@@ -92,7 +96,9 @@ def compute_secondary_particle_potentials(
                 dvy = vy - sh(vy)
                 dvz = vz - sh(vz)
                 uvx, uvy, uvz, nvij = _normalized(dvx, dvy, dvz)
-                wdist = 1.0 - nxij / (s * h)
+                # NOTE: the reference divides the SCALED |xij| by the
+                # UNSCALED h (secondaryparticles.cpp:69-71) — replicated
+                wdist = 1.0 - nxij / h
                 term = nvij * (1.0 - (uvx * uxij[0] + uvy * uxij[1]
                                       + uvz * uxij[2])) * wdist
                 vdiff += jnp.where(ok, term, 0.0)
@@ -520,11 +526,15 @@ def compute_potential_wave_crest(flags, vel, dom: Domain, radius: int,
 
 def compute_surface_normals(phi, dom: Domain):
     """flipComputeSurfaceNormals (secondaryparticles.cpp:667-676):
-    normalized central-difference gradient of the levelset."""
+    normalized central-difference gradient of the levelset. GradientOp is
+    a bnd=1 kernel over a cleared grid: zero normals on the ring."""
     def d1(a, ax):
         return 0.5 * (shift(a, 1, ax) - shift(a, -1, ax))
-    gx, gy = d1(phi, "x"), d1(phi, "y")
-    gz = d1(phi, "z") if dom.is3d else jnp.zeros_like(gx)
+    inter1 = interior_mask(dom, 1)
+    gx = jnp.where(inter1, d1(phi, "x"), 0.0)
+    gy = jnp.where(inter1, d1(phi, "y"), 0.0)
+    gz = jnp.where(inter1, d1(phi, "z"), 0.0) if dom.is3d \
+        else jnp.zeros_like(gx)
     nx, ny, nz, _ = _normalized(gx, gy, gz)
     return jnp.stack([nx, ny, nz])
 

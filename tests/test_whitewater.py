@@ -167,3 +167,56 @@ def test_legacy_potential_kernels():
     assert 0.0 <= r.min() and r.max() <= 1.0
     # deep interior pool cells see all-fluid neighborhoods
     assert r[4, 4:6, 8:12].min() > 0.99
+
+
+def test_potentials_match_reference_binary():
+    """One-shot comparison vs the reference binary on shared inputs
+    (goldens in testdata_ref, generated by the locally built binary).
+    TA/KE/neighborRatio are bit-exact (modern and legacy); wave crest is
+    bit-exact in the interior — the only divergence is a band at 2-3 cells
+    from the wall where the binary's own kernels read out-of-bounds
+    neighbors (KERNEL(bnd=1) with radius-2 reads), which is irreproducible
+    by construction."""
+    import os
+    import jax.numpy as jnp
+    from mantaflow_tpu.core.domain import Domain
+    from mantaflow_tpu.io.uni import read_grid_uni
+    from mantaflow_tpu.ops import whitewater as ww
+
+    res = 24
+    dom = Domain(size=(res, res, res), dim=3)
+    d = os.path.join(os.path.dirname(__file__), "testdata_ref")
+
+    def rd(n):
+        a, _ = read_grid_uni(os.path.join(d, f"ww_{n}.uni"))
+        return jnp.asarray(a)
+
+    flags = rd("flags").astype(jnp.int32)
+    vel = rd("vel")
+    phi = rd("phi")
+
+    ta, wc, ke, nr, _ = ww.compute_secondary_particle_potentials(
+        flags, vel, phi, dom, radius=2, tau_min_ta=0.1, tau_max_ta=5.0,
+        tau_min_wc=0.1, tau_max_wc=5.0, tau_min_ke=0.01, tau_max_ke=5.0,
+        scale_from_manta=1.0 / res)
+    assert float(jnp.abs(ta - rd("potTA")).max()) == 0.0
+    assert float(jnp.abs(ke - rd("potKE")).max()) == 0.0
+    assert float(jnp.abs(nr - rd("nr")).max()) == 0.0
+    dwc = np.abs(np.asarray(wc) - np.asarray(rd("potWC")))
+    assert dwc[4:-4, 4:-4, 4:-4].max() < 1e-6       # interior exact
+    assert (dwc > 1e-6).sum() <= 20                  # boundary band only
+
+    lN = ww.compute_surface_normals(phi, dom)
+    assert float(jnp.abs(lN - rd("lN")).max()) == 0.0
+    lTA = ww.compute_potential_trapped_air(flags, vel, dom, 2, 0.01, 2.0,
+                                           1.0 / res)
+    lKE = ww.compute_potential_kinetic_energy(flags, vel, dom, 0.001, 1.0,
+                                              1.0 / res)
+    lWC = ww.compute_potential_wave_crest(flags, vel, dom, 2, lN, 0.01, 2.0,
+                                          1.0 / res)
+    lNR = ww.update_neighbor_ratio(flags, dom, 1)
+    assert float(jnp.abs(lTA - rd("lTA")).max()) == 0.0
+    assert float(jnp.abs(lKE - rd("lKE")).max()) == 0.0
+    assert float(jnp.abs(lNR - rd("lNR")).max()) == 0.0
+    dl = np.abs(np.asarray(lWC) - np.asarray(rd("lWC")))
+    assert dl[4:-4, 4:-4, 4:-4].max() == 0.0         # interior exact
