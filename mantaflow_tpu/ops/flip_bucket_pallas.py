@@ -293,6 +293,8 @@ def _rebin_axis_pallas(bk, dom: Domain, axis: int, interpret: bool = False):
         out_specs=tuple([spec] * 7),
         out_shape=tuple(jax.ShapeDtypeStruct((P,) + pshape, jnp.float32)
                         for _ in range(7)),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(*ins)
     inv = (0,) + tuple(1 + perm.index(i) for i in range(3))
@@ -357,6 +359,8 @@ def advect_pallas(bk, flags, vel, dt, dom: Domain, integration_mode: int = 2,
         out_specs=(slab, slab, slab),
         out_shape=tuple(jax.ShapeDtypeStruct((P, sz, sy, sx), jnp.float32)
                         for _ in range(3)),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(dt_arr, velp, obsp, resh(bk.px), resh(bk.py), resh(bk.pz),
       resh(bk.valid.astype(jnp.float32)))

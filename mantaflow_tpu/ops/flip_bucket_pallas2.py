@@ -145,6 +145,8 @@ def p2g_mac_pallas(bk, dom: Domain, interpret: bool = False):
         out_specs=(full, full),
         out_shape=(jax.ShapeDtypeStruct((3, sz, sy, sx), jnp.float32),
                    jax.ShapeDtypeStruct((3, sz, sy, sx), jnp.float32)),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(resh(bk.px), resh(bk.py), resh(bk.pz), resh(bk.vx), resh(bk.vy),
       resh(bk.vz), resh(bk.valid.astype(jnp.float32)))
@@ -218,6 +220,8 @@ def union_levelset_pallas(bk, dom: Domain, radius_factor: float = 1.0,
         in_specs=[slab] * 4,
         out_specs=full,
         out_shape=jax.ShapeDtypeStruct((sz, sy, sx), jnp.float32),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(resh(bk.px), resh(bk.py), resh(bk.pz),
       resh(bk.valid.astype(jnp.float32)))
@@ -308,6 +312,8 @@ def flip_update_pallas(bk, vel, vel_old, flip_ratio: float, dom: Domain,
         out_specs=(slab, slab, slab),
         out_shape=tuple(jax.ShapeDtypeStruct((P, sz, sy, sx), jnp.float32)
                         for _ in range(3)),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
     nvx, nvy, nvz = call(ratio, velp, oldp, resh(bk.px), resh(bk.py),
