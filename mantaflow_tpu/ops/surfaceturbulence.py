@@ -51,6 +51,12 @@ class SurfTurbParams:
     curv_thresh_radius: float = 0.01
     seed_step_ratio: float = 0.05
     band: float = 1.0  # surface band half-width in cells
+    # Calibration of grid curvature (kappa1+kappa2, CurvatureOp) to the
+    # reference's SPH point statistic (weighted mean normal offset over a
+    # 0.75-cell disk, surfaceturbulence.cpp:930-955). Fitted against the
+    # reference binary on a basin+drop one-shot: alpha=0.031, corr 0.71
+    # (BASELINE.md); analytic thin-disk estimate 0.075*r^2 = 0.042.
+    curvature_scale: float = 0.031
 
 
 def _phi_and_normals(coarse: Particles, flags, dom: Domain,
@@ -158,37 +164,52 @@ def _point_field_laplacian(surf: Particles, values, flags, dom: Domain):
 def surface_waves(surf: Particles, wave_h, wave_dt_h, wave_seed,
                   wave_seed_amp, phi, flags, dom: Domain, p: SurfTurbParams,
                   frame: int = 0):
-    """evolveWave + seedWaves (:914-1002): integrate the wave equation on
-    the surface points with curvature-driven seeding."""
-    active = surf.active_mask()
-    lap = _point_field_laplacian(surf, wave_h, flags, dom)
-    dt_h = wave_dt_h + p.dt * (p.wave_speed ** 2) * lap
-    dt_h = dt_h * (1.0 - p.wave_damping)
-    h = wave_h + p.dt * dt_h
+    """surfaceWaves (:1002-1018): addSeed, the wave equation on the surface
+    points, then curvature-driven seed update for the next frame.
 
-    # curvature at points seeds waves inside the threshold window
+    Update ordering and semantics follow the reference exactly (addSeed
+    :803, evolveWave :886-900, seedWaves :979-997: seed acts as pure
+    forcing — added before the laplacian, subtracted after; damping as
+    /(1+dt*damping); dtH clamped to +-maxFrequency*maxAmplitude; seeding
+    saturates via smoothstep above the threshold center and the seed
+    oscillates as amp*cos(dt*frame*waveSpeed*freq)). The SPH point
+    laplacian/curvature (:848-977) are grid-mediated (documented redesign):
+    curvature comes from CurvatureOp on the coarse levelset, rescaled by
+    p.curvature_scale to the reference's point-statistic units."""
+    active = surf.active_mask()
+    h = wave_h + wave_seed  # addSeed
+    lap = _point_field_laplacian(surf, h, flags, dom)
+    dt_h = wave_dt_h + p.dt * (p.wave_speed ** 2) * lap
+    dt_h = dt_h / (1.0 + p.dt * p.wave_damping)
+    h = h + p.dt * dt_h
+    h = h / (1.0 + p.dt * p.wave_damping)
+    h = h - wave_seed
+    dt_h = jnp.clip(dt_h, -p.wave_max_frequency * p.wave_max_amplitude,
+                    p.wave_max_frequency * p.wave_max_amplitude)
+    h = jnp.clip(h, -p.wave_max_amplitude, p.wave_max_amplitude)
+
+    # seed update: calibrated grid curvature at points -> smoothstep source
     curv = fo.get_curvature(phi, dom)
-    c_at = jnp.abs(interpol_fast(curv, surf.pos[:, 0], surf.pos[:, 1],
-                                 surf.pos[:, 2]))
+    c_at = p.curvature_scale * jnp.abs(
+        interpol_fast(curv, surf.pos[:, 0], surf.pos[:, 1], surf.pos[:, 2]))
     lo = p.curv_thresh_center - p.curv_thresh_radius
     hi = p.curv_thresh_center + p.curv_thresh_radius
-    in_window = (c_at >= lo) & (c_at <= hi)
-    step = p.seed_step_ratio * p.wave_max_seeding_amplitude \
-        * p.wave_max_amplitude
-    seed_amp = jnp.where(in_window,
-                         jnp.minimum(wave_seed_amp + step,
-                                     p.wave_max_seeding_amplitude
-                                     * p.wave_max_amplitude),
-                         jnp.maximum(wave_seed_amp - step, 0.0))
-    osc = jnp.sin(2.0 * jnp.pi * p.wave_seed_frequency * p.dt
-                  * jnp.float32(frame))
-    seed_val = seed_amp * osc
-    h = jnp.where(in_window, h + seed_val, h)
-    h = jnp.clip(h, -p.wave_max_amplitude, p.wave_max_amplitude)
+    t = jnp.clip((c_at - lo) / jnp.maximum(hi - lo, 1e-12), 0.0, 1.0)
+    source = t * t * (3.0 - 2.0 * t) * 2.0 - 1.0
+    max_seed_amp = p.wave_max_seeding_amplitude * p.wave_max_amplitude
+    seed_amp = jnp.clip(
+        wave_seed_amp + source * p.seed_step_ratio * max_seed_amp,
+        0.0, max_seed_amp)
+    theta = p.dt * jnp.float32(frame) * p.wave_speed * p.wave_seed_frequency
+    seed_val = seed_amp * jnp.cos(theta)
+    source_disp = jnp.where(source >= 0.0, 1.0, 0.0)  # display value (:996)
 
     h = jnp.where(active, h, 0.0)
     dt_h = jnp.where(active, dt_h, 0.0)
-    return h, dt_h, seed_val, seed_amp
+    seed_val = jnp.where(active, seed_val, 0.0)
+    seed_amp = jnp.where(active, seed_amp, 0.0)
+    source_disp = jnp.where(active, source_disp, 0.0)
+    return h, dt_h, seed_val, seed_amp, source_disp
 
 
 def particle_surface_turbulence(flags, coarse: Particles, coarse_prev_pos,
@@ -200,9 +221,9 @@ def particle_surface_turbulence(flags, coarse: Particles, coarse_prev_pos,
     (surf, displaced_pos, normals(N,3), h, dtH, source, seed, seed_amp)."""
     surf = advect_surface_points(surf, coarse, coarse_prev_pos, flags, dom, p)
     surf, phi, normals = surface_maintenance(surf, coarse, flags, dom, p)
-    h, dt_h, source, seed_amp = surface_waves(
+    h, dt_h, seed, seed_amp, source = surface_waves(
         surf, wave_h, wave_dt_h, wave_seed, wave_seed_amp, phi, flags, dom,
         p, frame)
     n_at = _gather_vec(normals, surf.pos)
     displaced = surf.pos + n_at * h[:, None]
-    return surf, displaced, n_at, h, dt_h, source, source, seed_amp
+    return surf, displaced, n_at, h, dt_h, source, seed, seed_amp

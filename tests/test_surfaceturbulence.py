@@ -43,8 +43,11 @@ def test_particle_surface_turbulence():
             surfaceWaveDtH=waveDtH, surfacePointsDisplaced=surfDisplaced,
             surfaceWaveSource=waveSource, surfaceWaveSeed=waveSeed,
             surfaceWaveSeedAmplitude=waveSeedAmp, res=res,
-            waveSeedingCurvatureThresholdRegionCenter=0.075,
-            waveSeedingCurvatureThresholdRegionRadius=0.075)
+            # ball radius ~5.9 -> grid curvature ~0.34 -> calibrated point
+            # statistic ~0.0105; put the threshold band around it so the
+            # sampling-noise curvature variation seeds non-uniformly
+            waveSeedingCurvatureThresholdRegionCenter=0.010,
+            waveSeedingCurvatureThresholdRegionRadius=0.005)
         s.step()
 
     act = np.asarray(surf.parts.active_mask())
