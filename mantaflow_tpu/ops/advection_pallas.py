@@ -62,10 +62,11 @@ def _window_kernel(*refs, k: int, bz: int, shape, want_minmax: bool,
     del okm_ref
     if want_minmax:
         out_ref, minv_ref, maxv_ref, have_ref = refs[6:10]
-        slab, okslab, sem, oksem = refs[10:14]
+        slab, okslab, sem, oksem, wz_st, wy_st, nz_st, ny_st = refs[10:18]
     else:
         out_ref = refs[6]
-        slab, okslab, sem, oksem = refs[7:11]
+        slab, okslab, sem, oksem, wz_st, wy_st = refs[7:13]
+        nz_st = ny_st = None
     sz, sy, sx = shape
     halo = k + 1
     nsl = bz + 2 * halo
@@ -91,12 +92,23 @@ def _window_kernel(*refs, k: int, bz: int, shape, want_minmax: bool,
     # tap k+1 — so the tap window is [-k, k+1], not [-k-1, k].
     offs = list(range(-k, k + 2))
     noff = len(offs)
-    # x-axis weights/sel: precomputed (reused noff^2 times; inner loop is
-    # static). z/y weights are recomputed per (oz,oy) inside the fori_loop —
-    # cheap, and the rolled loop keeps Mosaic register pressure flat (a full
-    # unroll of the (2k+2)^3 taps spills hundreds of MB of vregs).
+    # x-axis weights/sel: precomputed python-list slabs (reused noff^2
+    # times; the inner x loop is static). z/y weights/penalties are also
+    # precomputed — into VMEM scratch stacks indexed dynamically by the
+    # rolled (oz,oy) fori_loop (a python list can't be indexed by a traced
+    # value, and a full unroll of the (2k+2)^3 taps spills hundreds of MB
+    # of vregs). This removes the per-iteration where-chains (~15 slab-ops)
+    # from the hot loop: 2 VMEM loads + a mul/add instead.
     wxs = [jnp.where(nx == ox, 1.0 - fx, jnp.where(nx == ox - 1, fx, 0.0))
            for ox in offs]
+    for i, o in enumerate(offs):
+        wz_st[i] = jnp.where(nz == o, 1.0 - fz,
+                             jnp.where(nz == o - 1, fz, 0.0))
+        wy_st[i] = jnp.where(ny == o, 1.0 - fy,
+                             jnp.where(ny == o - 1, fy, 0.0))
+        if want_minmax:
+            nz_st[i] = jnp.where((nz == o) | (nz == o - 1), 0.0, _BIG)
+            ny_st[i] = jnp.where((ny == o) | (ny == o - 1), 0.0, _BIG)
     if want_minmax:
         # not-selected penalty per x-offset: corner selection is folded into
         # arithmetic (value + BIG excludes a tap from min; -BIG from max),
@@ -123,24 +135,12 @@ def _window_kernel(*refs, k: int, bz: int, shape, want_minmax: bool,
             minv = maxv = have = None
         izi = o // noff
         iyi = o % noff
-        oz = izi - k                # offset value (traced)
-        oy = iyi - k
         zsl = slab[pl.ds(izi + 1, bz)]  # slab index = oz + halo
         yshift = (sy - iyi + k) % sy    # (-oy) mod sy, non-negative
         ysl = pltpu.roll(zsl, yshift, 1)
-        ozf = oz.astype(jnp.float32)
-        oyf = oy.astype(jnp.float32)
-        nzf = nz.astype(jnp.float32)
-        nyf = ny.astype(jnp.float32)
-        wz = jnp.where(nzf == ozf, 1.0 - fz,
-                       jnp.where(nzf == ozf - 1.0, fz, 0.0))
-        wy = jnp.where(nyf == oyf, 1.0 - fy,
-                       jnp.where(nyf == oyf - 1.0, fy, 0.0))
-        wzy = wz * wy
+        wzy = wz_st[izi] * wy_st[iyi]
         if want_minmax:
-            not_zy = jnp.where(
-                ((nzf == ozf) | (nzf == ozf - 1.0))
-                & ((nyf == oyf) | (nyf == oyf - 1.0)), 0.0, _BIG)
+            not_zy = nz_st[izi] + ny_st[iyi]
             if with_ok:
                 okysl = pltpu.roll(okslab[pl.ds(izi + 1, bz)], yshift, 1)
         for ix, ox in enumerate(offs):
@@ -208,11 +208,19 @@ def _window_pass_call(src, px, py, pz, ok_mask, k: int,
         out_specs += [blk] * 3
 
     nsl = bz + 2 * halo
+    noff = 2 * k + 2
     scratch = [pltpu.VMEM((nsl, sy, sx), jnp.float32),
                pltpu.VMEM((nsl, sy, sx), jnp.float32)
                if with_ok else pltpu.SMEM((1,), jnp.float32),
                pltpu.SemaphoreType.DMA(()),
-               pltpu.SemaphoreType.DMA(())]
+               pltpu.SemaphoreType.DMA(()),
+               # per-axis weight stacks (z, y), filled once per block
+               pltpu.VMEM((noff, bz, sy, sx), jnp.float32),
+               pltpu.VMEM((noff, bz, sy, sx), jnp.float32)]
+    if want_minmax:
+        # per-axis not-selected penalty stacks (z, y)
+        scratch += [pltpu.VMEM((noff, bz, sy, sx), jnp.float32),
+                    pltpu.VMEM((noff, bz, sy, sx), jnp.float32)]
 
     kern = functools.partial(_window_kernel, k=k, bz=bz,
                              shape=(sz, sy, sx), want_minmax=want_minmax,
@@ -238,10 +246,209 @@ def _window_pass_call(src, px, py, pz, ok_mask, k: int,
     return outs[0]
 
 
+def _window_kernel_dyn(*refs, k: int, bz: int, by: int, shape,
+                       want_minmax: bool, with_ok: bool):
+    """Dynamic-range variant: instead of scanning all (2k+2)^2 (oz,oy)
+    offset pairs, each (z,y)-tile reduces the actual integer corner-base
+    range of its cells and loops only over [min,max+1] per axis — the
+    velocity field is smooth, so a 8x32 tile typically needs 2x2..3x3
+    pairs instead of 64. Taps outside a tile's range have provably zero
+    weight (and BIG min/max penalty), so skipping them is exact. y-offsets
+    are dynamic sublane slices of a 2D-haloed VMEM slab (no rolls);
+    x stays the static (2k+2)-tap lane-roll loop."""
+    px_ref, py_ref, pz_ref, okm_ref, src_hbm, ok_hbm = refs[:6]
+    del okm_ref
+    if want_minmax:
+        out_ref, minv_ref, maxv_ref, have_ref = refs[6:10]
+        slab, okslab, sem, oksem = refs[10:14]
+    else:
+        out_ref = refs[6]
+        slab, okslab, sem, oksem = refs[7:11]
+    sz, sy, sx = shape
+    halo = k + 1
+
+    z0 = pl.program_id(0) * bz
+    y0 = pl.program_id(1) * by
+    cp = pltpu.make_async_copy(
+        src_hbm.at[pl.ds(z0, bz + 2 * halo), pl.ds(y0, by + 2 * halo)],
+        slab, sem)
+    cp.start()
+    if with_ok:
+        cpo = pltpu.make_async_copy(
+            ok_hbm.at[pl.ds(z0, bz + 2 * halo), pl.ds(y0, by + 2 * halo)],
+            okslab, oksem)
+        cpo.start()
+
+    cx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, sx), 2).astype(jnp.float32)
+    cy = (jax.lax.broadcasted_iota(jnp.int32, (1, by, 1), 1)
+          .astype(jnp.float32) + jnp.float32(y0))
+    cz = (jax.lax.broadcasted_iota(jnp.int32, (bz, 1, 1), 0)
+          .astype(jnp.float32) + jnp.float32(z0))
+
+    nx, fx = _rel_base_frac(px_ref[:] - 0.5, cx, sx, k)
+    ny, fy = _rel_base_frac(py_ref[:] - 0.5, cy, sy, k)
+    nz, fz = _rel_base_frac(pz_ref[:] - 0.5, cz, sz, k)
+
+    offs = list(range(-k, k + 2))
+    wxs = [jnp.where(nx == ox, 1.0 - fx, jnp.where(nx == ox - 1, fx, 0.0))
+           for ox in offs]
+    if want_minmax:
+        nxs = [jnp.where((nx == ox) | (nx == ox - 1), 0.0, _BIG)
+               for ox in offs]
+
+    # actual corner-base range of this tile (+1: base and base+1 corners)
+    nz_lo = jnp.min(nz)
+    ny_lo = jnp.min(ny)
+    cnt_z = jnp.max(nz) - nz_lo + 2
+    cnt_y = jnp.max(ny) - ny_lo + 2
+
+    cp.wait()
+    if with_ok:
+        cpo.wait()
+
+    acc0 = jnp.zeros((bz, by, sx), jnp.float32)
+    minv0 = jnp.full((bz, by, sx), _BIG, jnp.float32)
+    maxv0 = jnp.full((bz, by, sx), -_BIG, jnp.float32)
+    have0 = jnp.full((bz, by, sx), _BIG, jnp.float32)
+
+    def body(o, carry):
+        if want_minmax:
+            acc, minv, maxv, have = carry
+        else:
+            acc = carry
+            minv = maxv = have = None
+        oz = nz_lo + o // cnt_y      # traced offset values
+        oy = ny_lo + o % cnt_y
+        zysl = slab[pl.ds(oz + halo, bz), pl.ds(oy + halo, by)]
+        ozf = oz.astype(jnp.float32)
+        oyf = oy.astype(jnp.float32)
+        nzf = nz.astype(jnp.float32)
+        nyf = ny.astype(jnp.float32)
+        wz = jnp.where(nzf == ozf, 1.0 - fz,
+                       jnp.where(nzf == ozf - 1.0, fz, 0.0))
+        wy = jnp.where(nyf == oyf, 1.0 - fy,
+                       jnp.where(nyf == oyf - 1.0, fy, 0.0))
+        wzy = wz * wy
+        if want_minmax:
+            not_zy = jnp.where(
+                ((nzf == ozf) | (nzf == ozf - 1.0))
+                & ((nyf == oyf) | (nyf == oyf - 1.0)), 0.0, _BIG)
+            if with_ok:
+                okzysl = okslab[pl.ds(oz + halo, bz), pl.ds(oy + halo, by)]
+        for ix, ox in enumerate(offs):
+            xsl = pltpu.roll(zysl, (-ox) % sx, 2)
+            acc = acc + (wzy * wxs[ix]) * xsl
+            if want_minmax:
+                nots = not_zy + nxs[ix]
+                if with_ok:
+                    nots = nots + (1.0 - pltpu.roll(okzysl, (-ox) % sx, 2)) \
+                        * _BIG
+                minv = jnp.minimum(minv, xsl + nots)
+                maxv = jnp.maximum(maxv, xsl - nots)
+                if with_ok:
+                    have = jnp.minimum(have, nots)
+        return (acc, minv, maxv, have) if want_minmax else acc
+
+    if want_minmax:
+        acc, minv, maxv, have = jax.lax.fori_loop(
+            0, cnt_z * cnt_y, body, (acc0, minv0, maxv0, have0))
+        minv_ref[:] = minv
+        maxv_ref[:] = maxv
+        have_ref[:] = jnp.where(have < _BIG * 0.5, 1.0, 0.0) \
+            if with_ok else jnp.ones((bz, by, sx), jnp.float32)
+    else:
+        acc = jax.lax.fori_loop(0, cnt_z * cnt_y, body, acc0)
+    out_ref[:] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("k", "want_minmax", "bz", "by",
+                                             "interpret"))
+def _window_pass_dyn_call(src, px, py, pz, ok_mask, k: int,
+                          want_minmax: bool, bz: int, by: int,
+                          interpret: bool):
+    sz, sy, sx = src.shape
+    halo = k + 1
+    nblk_z = -(-sz // bz)
+    nblk_y = -(-sy // by)
+    zp, yp = nblk_z * bz, nblk_y * by
+    # source: halo'd in z AND y (edge values are never selected — positions
+    # are range-clamped — but keep them finite)
+    src_p = jnp.pad(src, ((halo, halo + (zp - sz)),
+                          (halo, halo + (yp - sy)), (0, 0)), mode="edge")
+    with_ok = ok_mask is not None
+    if with_ok:
+        ok_p = jnp.pad(ok_mask.astype(jnp.float32),
+                       ((halo, halo + (zp - sz)),
+                        (halo, halo + (yp - sy)), (0, 0)))
+    else:
+        ok_p = jnp.zeros((1, 1, sx), jnp.float32)  # dummy
+
+    def padzy(a):
+        if zp == sz and yp == sy:
+            return a
+        # edge mode: padded cells' positions stay sane so they can't
+        # inflate the per-tile offset ranges
+        return jnp.pad(a, ((0, zp - sz), (0, yp - sy), (0, 0)), mode="edge")
+
+    pxp, pyp_, pzp = padzy(px), padzy(py), padzy(pz)
+    okm = pxp  # unused slot
+
+    blk = pl.BlockSpec((bz, by, sx), lambda i, j: (i, j, 0),
+                       memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
+    out_shapes = [jax.ShapeDtypeStruct((zp, yp, sx), jnp.float32)]
+    out_specs = [blk]
+    if want_minmax:
+        out_shapes += [jax.ShapeDtypeStruct((zp, yp, sx), jnp.float32)] * 3
+        out_specs += [blk] * 3
+
+    nslz, nsly = bz + 2 * halo, by + 2 * halo
+    scratch = [pltpu.VMEM((nslz, nsly, sx), jnp.float32),
+               pltpu.VMEM((nslz, nsly, sx), jnp.float32)
+               if with_ok else pltpu.SMEM((1,), jnp.float32),
+               pltpu.SemaphoreType.DMA(()),
+               pltpu.SemaphoreType.DMA(())]
+
+    kern = functools.partial(_window_kernel_dyn, k=k, bz=bz, by=by,
+                             shape=(sz, sy, sx), want_minmax=want_minmax,
+                             with_ok=with_ok)
+    outs = pl.pallas_call(
+        kern,
+        grid=(nblk_z, nblk_y),
+        in_specs=[blk, blk, blk, blk, hbm, hbm],
+        out_specs=tuple(out_specs) if want_minmax else out_specs[0],
+        out_shape=tuple(out_shapes) if want_minmax else out_shapes[0],
+        scratch_shapes=scratch,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(pxp, pyp_, pzp, okm, src_p, ok_p)
+
+    if not want_minmax:
+        outs = (outs,)
+    outs = tuple(o[:sz, :sy] for o in outs)
+    if want_minmax:
+        out, minv, maxv, have = outs
+        return out, minv, maxv, have > 0.5
+    return outs[0]
+
+
 def window_pass(src, px, py, pz, dom: Domain, k: int, ok_mask=None,
-                want_minmax: bool = False, bz: int = 8):
-    """Drop-in Pallas counterpart of advection_fast.window_interp (3D)."""
+                want_minmax: bool = False, bz: int = 8, by: int = 32,
+                dyn: bool | None = None):
+    """Drop-in Pallas counterpart of advection_fast.window_interp (3D).
+
+    dyn=None (default) picks the dynamic-range kernel (identical taps,
+    per-tile trip counts); set MANTA_PALLAS_STATIC=1 or dyn=False for the
+    fixed (2k+2)^2-iteration kernel."""
+    import os
     interpret = not _is_tpu()
+    if dyn is None:
+        dyn = os.environ.get("MANTA_PALLAS_STATIC", "") != "1"
+    if dyn:
+        return _window_pass_dyn_call(src, px, py, pz, ok_mask, k,
+                                     want_minmax, min(bz, dom.shape[0]),
+                                     min(by, dom.shape[1]), interpret)
     return _window_pass_call(src, px, py, pz, ok_mask, k, want_minmax,
                              min(bz, dom.shape[0]), interpret)
 
