@@ -26,33 +26,46 @@ def _grid_type_of(grid: GridBase) -> int:
     return uio.TypeReal
 
 
-def _require_vdb():
-    """OpenVDB is optional, like the reference's OPENVDB=1 build gate
-    (fileio/ioutil.cpp); without pyopenvdb the .vdb paths raise."""
-    try:
-        import pyopenvdb
-        return pyopenvdb
-    except ImportError as e:
-        raise NotImplementedError(
-            ".vdb IO needs the optional pyopenvdb module (reference gates "
-            "this on the OPENVDB=1 build flag the same way); use .uni/.vol "
-            "instead") from e
+def _vdb_class_of(grid) -> str:
+    """iovdb.cpp:146-166 grid-class mapping: levelsets -> LEVEL_SET, MAC ->
+    STAGGERED, other reals -> FOG_VOLUME."""
+    from ..io import vdb
+    if isinstance(grid, LevelsetGrid):
+        return vdb.CLASS_LEVEL_SET
+    if isinstance(grid, MACGrid):
+        return vdb.CLASS_STAGGERED
+    if isinstance(grid, IntGrid):
+        return vdb.CLASS_UNKNOWN
+    return vdb.CLASS_FOG
 
 
-def _write_vdb(name: str, arr):
-    vdb = _require_vdb()
-    grid = vdb.FloatGrid()
-    grid.copyFromArray(np.ascontiguousarray(arr.transpose(2, 1, 0)))
-    grid.name = "density"
-    vdb.write(name, grids=[grid])
+def _write_vdb(name: str, arr, grid=None):
+    """Native OpenVDB writer (mantaflow_tpu.io.vdb) — the reference gates
+    this path on the OPENVDB=1 build flag; here it is always available."""
+    from ..io import vdb
+    gname = getattr(grid, "name", "") or "density"
+    vdb.write_vdb(name, [{
+        "name": gname,
+        "data": arr,
+        "grid_class": _vdb_class_of(grid) if grid is not None
+        else vdb.CLASS_FOG,
+    }])
 
 
 def _read_vdb(name: str, shape):
-    vdb = _require_vdb()
-    grid = vdb.readAllGridMetadata(name) and vdb.read(name, "density")
-    out = np.zeros(shape[::-1], np.float32)
-    grid.copyToArray(out)
-    return out.transpose(2, 1, 0)
+    from ..io import vdb
+    grids = vdb.read_vdb(name)
+    if not grids:
+        raise ValueError(f"{name}: no grids in file")
+    data = grids[0]["data"]
+    want = tuple(shape)
+    got = data.shape[-3:]
+    if got != want:  # leaf-padded tail was all-inactive: crop/pad back
+        pads = [(0, max(0, w - g)) for w, g in zip(want, got)]
+        if data.ndim == 4:
+            pads = [(0, 0)] + pads
+        data = np.pad(data, pads)[..., :want[0], :want[1], :want[2]]
+    return data
 
 
 def _grid_save(self: GridBase, name: str):
@@ -67,7 +80,7 @@ def _grid_save(self: GridBase, name: str):
     elif name.endswith(".vol"):
         uio.write_grid_vol(name, np.asarray(self.data))
     elif name.endswith(".vdb"):
-        _write_vdb(name, np.asarray(self.data))
+        _write_vdb(name, np.asarray(self.data), self)
     else:
         raise ValueError(f"save: unknown extension for {name}")
 

@@ -165,24 +165,61 @@ def test_vol_roundtrip(tmp_path):
         v.save(str(tmp_path / "v.vol"))  # only Real grids, like reference
 
 
-def test_vdb_gated(tmp_path):
-    """.vdb is gated on optional pyopenvdb (reference OPENVDB=1 gate): raises
-    a clear NotImplementedError when absent, round-trips when present."""
-    import pytest
-    res = 8
+def test_vdb_grid_roundtrip(tmp_path):
+    """Native .vdb IO (io/vdb.py, no pyopenvdb): Real grid, MAC grid and
+    levelset round-trip exactly through the scene save/load surface."""
+    res = 12  # non-multiple of the 8^3 leaf size exercises value masks
     s = Solver(name="v", gridSize=vec3(res, res, res))
+    rng = np.random.RandomState(7)
+
     g = s.create(RealGrid)
-    g.setConst(1.0)
+    g.from_numpy(rng.rand(res, res, res).astype(np.float32))
     p = str(tmp_path / "d.vdb")
-    try:
-        import pyopenvdb  # noqa: F401
-        g.save(p)
-        g2 = s.create(RealGrid)
-        g2.load(p)
-        assert np.allclose(g2.to_numpy(), 1.0)
-    except ImportError:
-        with pytest.raises(NotImplementedError, match="pyopenvdb"):
-            g.save(p)
+    g.save(p)
+    g2 = s.create(RealGrid)
+    g2.load(p)
+    assert np.array_equal(g2.to_numpy(), g.to_numpy())
+
+    v = s.create(MACGrid)
+    v.from_numpy(rng.rand(3, res, res, res).astype(np.float32))
+    pv = str(tmp_path / "v.vdb")
+    v.save(pv)
+    v2 = s.create(MACGrid)
+    v2.load(pv)
+    assert np.array_equal(v2.to_numpy(), v.to_numpy())
+
+    from mantaflow_tpu.io import vdb
+    assert vdb.read_vdb(pv)[0]["grid_class"] == vdb.CLASS_STAGGERED
+
+    phi = s.create(LevelsetGrid)
+    phi.from_numpy(rng.rand(res, res, res).astype(np.float32) - 0.5)
+    pp = str(tmp_path / "phi.vdb")
+    phi.save(pp)
+    assert vdb.read_vdb(pp)[0]["grid_class"] == vdb.CLASS_LEVEL_SET
+    phi2 = s.create(LevelsetGrid)
+    phi2.load(pp)
+    assert np.array_equal(phi2.to_numpy(), phi.to_numpy())
+
+
+def test_vdb_multi_grid_and_int(tmp_path):
+    """Multiple named grids per file + int32 grids (iovdb.cpp save() with
+    a grid list); header fields survive the round trip."""
+    from mantaflow_tpu.io import vdb
+    rng = np.random.RandomState(11)
+    d = rng.rand(20, 17, 33).astype(np.float32)
+    i = rng.randint(0, 9, (20, 17, 33)).astype(np.int32)
+    p = str(tmp_path / "m.vdb")
+    vdb.write_vdb(p, [
+        {"name": "density", "data": d, "grid_class": vdb.CLASS_FOG,
+         "voxel_size": 0.25},
+        {"name": "flags", "data": i},
+    ])
+    out = vdb.read_vdb(p)
+    assert [g["name"] for g in out] == ["density", "flags"]
+    assert out[0]["voxel_size"] == 0.25
+    assert np.array_equal(out[0]["data"], d)
+    assert np.array_equal(out[1]["data"], i)
+    assert out[1]["data"].dtype == np.int32
 
 
 def test_png_roundtrip(tmp_path):
