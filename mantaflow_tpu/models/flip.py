@@ -10,6 +10,7 @@ host round-trips.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 
 import jax
@@ -299,3 +300,39 @@ def flip_step_bucketed(state: FlipBucketState, dom: Domain,
     ts = slv.step(ts, params.frame_length)
     return FlipBucketState(flags=flags, vel=vel, vel_old=vel_old,
                            pressure=pressure, phi=phi, buckets=bk, ts=ts)
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_bucket_step(dom: Domain, params: FlipParams):
+    return jax.jit(lambda s: flip_step_bucketed(s, dom, params))
+
+
+def flip_step_bucketed_auto(state: FlipBucketState, dom: Domain,
+                            params: FlipParams, ppc_step: int = 4,
+                            max_ppc: int = 48) -> FlipBucketState:
+    """Overflow-safe host-side driver around flip_step_bucketed.
+
+    The fixed-PPC bucket layout drops particles when a cell's occupancy
+    exceeds PPC (e.g. a dam piling up against a wall). This driver checks
+    ``buckets.dropped`` after each step; on overflow it rebuilds the
+    buckets from the PRE-step state at PPC+ppc_step (one recompile per
+    escalation, amortized over the run) and redoes the step, so no
+    particle is ever lost. The reference has no cap at all
+    (plugin/flip.cpp particle lists grow unbounded); this recovers that
+    contract at bucket-layout speed."""
+    import dataclasses as _dc
+    prev = state
+    while True:
+        new = _jitted_bucket_step(dom, params)(prev)
+        d = int(new.buckets.dropped) - int(prev.buckets.dropped)
+        if d == 0:
+            return new
+        ppc = max(prev.buckets.ppc + ppc_step,
+                  fb.max_cell_occupancy(prev.buckets, dom))
+        if ppc > max_ppc:
+            raise RuntimeError(
+                f"flip_step_bucketed_auto: still dropping {d} particles at "
+                f"ppc={prev.buckets.ppc} (needs {ppc}); raise max_ppc or "
+                "use the flat layout")
+        prev = _dc.replace(prev,
+                           buckets=fb.rebin_to_ppc(prev.buckets, dom, ppc))

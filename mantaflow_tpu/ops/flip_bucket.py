@@ -149,6 +149,42 @@ def bin_from_particles(parts: Particles, pvel, dom: Domain,
                    valid=jnp.asarray(bvalid), dropped=jnp.int32(dropped))
 
 
+def rebin_to_ppc(bk: Buckets, dom: Domain, ppc: int) -> Buckets:
+    """Host-side re-bin of an existing bucket set at a different PPC
+    (used by the auto-escalation driver when a step overflowed)."""
+    import dataclasses as _dc
+    from ..core.particles import make_particles
+
+    valid = np.asarray(bk.valid).reshape(-1)
+    pos = np.stack([np.asarray(a).reshape(-1)[valid]
+                    for a in (bk.px, bk.py, bk.pz)], axis=-1)
+    vel = np.stack([np.asarray(a).reshape(-1)[valid]
+                    for a in (bk.vx, bk.vy, bk.vz)], axis=-1)
+    parts = make_particles(pos, capacity=len(pos))
+    out = bin_from_particles(parts, jnp.asarray(vel), dom, ppc=ppc)
+    if int(out.dropped) != 0:
+        raise ValueError(f"rebin_to_ppc: ppc={ppc} still overflows "
+                         f"(max occupancy {max_cell_occupancy(bk, dom)})")
+    return _dc.replace(out, dropped=bk.dropped)
+
+
+def max_cell_occupancy(bk: Buckets, dom: Domain) -> int:
+    """Host-side max per-cell particle count by POSITION (not by stored
+    bucket): the minimum PPC a rebin of this state needs."""
+    sz, sy, sx = dom.shape
+    valid = np.asarray(bk.valid).reshape(-1)
+    if not valid.any():
+        return 0
+    i = np.clip(np.asarray(bk.px).reshape(-1)[valid].astype(np.int64),
+                0, sx - 1)
+    j = np.clip(np.asarray(bk.py).reshape(-1)[valid].astype(np.int64),
+                0, sy - 1)
+    k = np.clip(np.asarray(bk.pz).reshape(-1)[valid].astype(np.int64),
+                0, sz - 1)
+    return int(np.bincount((k * sy + j) * sx + i,
+                           minlength=sx * sy * sz).max())
+
+
 def to_particles(bk: Buckets, dom: Domain, capacity: int | None = None):
     """Flatten buckets back to a flat Particles + pvel (host/test path)."""
     valid = np.asarray(bk.valid).reshape(-1)
