@@ -270,14 +270,22 @@ def write_grid_txt(filename: str, data):
                     f.write(f"{arr[k, j, i]}\n")
 
 
-def write_mesh_obj(filename: str, nodes, tris):
-    """Wavefront OBJ (iomeshes.cpp:183): 1-based vertex indices."""
+def write_mesh_obj(filename: str, nodes, tris, grid_size=None):
+    """Wavefront OBJ (iomeshes.cpp:351 writeObjFile): 1-based vertex
+    indices, vn normal lines, and — with grid_size — the reference's
+    centered unit-cube world coordinates. (readObjFile reads coordinates
+    raw, matching the reference's asymmetric convention.)"""
+    nodes = np.asarray(nodes, np.float32)
+    out = _to_world(nodes, grid_size) if grid_size is not None else nodes
+    normals = compute_vertex_normals(nodes, tris)
     with open(filename, "w") as f:
-        f.write("# mantaflow-tpu mesh\n")
-        for p in np.asarray(nodes):
-            f.write(f"v {p[0]} {p[1]} {p[2]}\n")
+        f.write("o MantaMesh\n")
+        for p in out:
+            f.write(f"v {p[0]} {p[1]} {p[2]} \n")
+        for n in normals:
+            f.write(f"vn {n[0]} {n[1]} {n[2]} \n")
         for t in np.asarray(tris):
-            f.write(f"f {t[0] + 1} {t[1] + 1} {t[2] + 1}\n")
+            f.write(f"f {t[0] + 1} {t[1] + 1} {t[2] + 1} \n")
 
 
 def read_mesh_obj(filename: str):
@@ -296,22 +304,74 @@ def read_mesh_obj(filename: str):
             np.asarray(tris, np.int32).reshape(-1, 3))
 
 
-def write_mesh_bobj(filename: str, nodes, tris):
-    """Blender binary .bobj.gz (iomeshes.cpp:277): gzipped int32 count +
-    float32 verts, then int32 count + int32 tri indices."""
+def compute_vertex_normals(nodes, tris):
+    """Mesh::computeVertexNormals (mesh.cpp:604-622): per-corner weights
+    1/(l_prev*l_next) on the tri normal, then normalize."""
+    nodes = np.asarray(nodes, np.float32)
+    tris = np.asarray(tris, np.int64)
+    normals = np.zeros_like(nodes)
+    if len(tris):
+        p0, p1, p2 = nodes[tris[:, 0]], nodes[tris[:, 1]], nodes[tris[:, 2]]
+        n0, n1, n2 = p0 - p1, p1 - p2, p2 - p0
+        l0 = (n0 * n0).sum(1)
+        l1 = (n1 * n1).sum(1)
+        l2 = (n2 * n2).sum(1)
+        nm = np.cross(n0, n1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            np.add.at(normals, tris[:, 0], nm * (1.0 / (l0 * l2))[:, None])
+            np.add.at(normals, tris[:, 1], nm * (1.0 / (l0 * l1))[:, None])
+            np.add.at(normals, tris[:, 2], nm * (1.0 / (l1 * l2))[:, None])
+    ln = np.linalg.norm(normals, axis=1, keepdims=True)
+    out = np.where(ln > 1e-12, normals / np.maximum(ln, 1e-12), 0.0)
+    return np.nan_to_num(out).astype(np.float32)
+
+
+def _to_world(nodes, grid_size):
+    """writeObjFile/writeBobjFile convention (iomeshes.cpp:352-371,191-212):
+    centered unit-cube world coords, (pos - gs/2) * dx with dx=1/max(gs)."""
+    gs = np.asarray(grid_size, np.float32)
+    return (np.asarray(nodes, np.float32) - gs * 0.5) / gs.max()
+
+
+def _to_grid(nodes, grid_size):
+    """readBobj back-conversion (iomeshes.cpp:154-156)."""
+    gs = np.asarray(grid_size, np.float32)
+    return np.asarray(nodes, np.float32) * gs.max() + gs * 0.5
+
+
+def write_mesh_bobj(filename: str, nodes, tris, grid_size=None,
+                    normals=None):
+    """Blender binary .bobj.gz (iomeshes.cpp writeBobjFile): gzipped
+    int32 count + float32 verts, int32 count + float32 vertex normals,
+    int32 count + int32 tri indices. With grid_size, verts are written in
+    the reference's centered unit-cube world space; normals are computed
+    per computeVertexNormals when not given."""
     nodes = np.asarray(nodes, np.float32)
     tris = np.asarray(tris, np.int32)
+    if normals is None:
+        normals = compute_vertex_normals(nodes, tris)
+    out = _to_world(nodes, grid_size) if grid_size is not None else nodes
     with gzip.open(filename, "wb", compresslevel=1) as f:
         f.write(struct.pack("i", nodes.shape[0]))
-        f.write(np.ascontiguousarray(nodes).tobytes())
+        f.write(np.ascontiguousarray(out, np.float32).tobytes())
+        f.write(struct.pack("i", nodes.shape[0]))
+        f.write(np.ascontiguousarray(normals, np.float32).tobytes())
         f.write(struct.pack("i", tris.shape[0]))
         f.write(np.ascontiguousarray(tris).tobytes())
 
 
-def read_mesh_bobj(filename: str):
+def read_mesh_bobj(filename: str, grid_size=None, return_normals=False):
+    """Reads the reference layout (verts, normals, tris); with grid_size,
+    verts are converted back to grid space like Mesh::load (readBobj)."""
     with gzip.open(filename, "rb") as f:
         (nv,) = struct.unpack("i", f.read(4))
         nodes = np.frombuffer(f.read(nv * 12), np.float32).reshape(nv, 3)
+        (nn,) = struct.unpack("i", f.read(4))
+        normals = np.frombuffer(f.read(nn * 12), np.float32).reshape(nn, 3)
         (nt,) = struct.unpack("i", f.read(4))
         tris = np.frombuffer(f.read(nt * 12), np.int32).reshape(nt, 3)
-    return nodes.copy(), tris.copy()
+    nodes = _to_grid(nodes, grid_size) if grid_size is not None \
+        else nodes.copy()
+    if return_normals:
+        return nodes, tris.copy(), normals.copy()
+    return nodes, tris.copy()

@@ -124,9 +124,11 @@ class Mesh:
 
     def load(self, name: str, append: bool = False):
         if name.endswith(".obj"):
+            # readObjFile keeps file coordinates raw (scenes rescale)
             nodes, tris = uio.read_mesh_obj(name)
         elif name.endswith(".bobj.gz") or name.endswith(".bobj"):
-            nodes, tris = uio.read_mesh_bobj(name)
+            # readBobj converts world -> grid space (iomeshes.cpp:154-156)
+            nodes, tris = uio.read_mesh_bobj(name, grid_size=self.dom.size)
         else:
             raise ValueError(f"mesh load: unknown extension {name}")
         if append and self.numNodes():
@@ -137,10 +139,13 @@ class Mesh:
             self.nodes, self.tris = nodes, tris
 
     def save(self, name: str):
+        # both writers emit the reference's centered unit-cube world coords
         if name.endswith(".obj"):
-            uio.write_mesh_obj(name, self.nodes, self.tris)
+            uio.write_mesh_obj(name, self.nodes, self.tris,
+                               grid_size=self.dom.size)
         elif name.endswith(".bobj.gz") or name.endswith(".bobj"):
-            uio.write_mesh_bobj(name, self.nodes, self.tris)
+            uio.write_mesh_bobj(name, self.nodes, self.tris,
+                                grid_size=self.dom.size)
         else:
             raise ValueError(f"mesh save: unknown extension {name}")
 
@@ -168,6 +173,62 @@ class Mesh:
 
     def offset(self, o):
         self.nodes = self.nodes + np.asarray(o, np.float32)
+
+    def rotate(self, thetas):
+        """Mesh::rotate (mesh.cpp:343-373): sequential planar rotations
+        x, then y, then z (radians); the y rotation's (0,2) axis pair uses
+        the fork's negated sine convention."""
+        thetas = np.asarray(thetas, np.float32)
+        pos = self.nodes.copy()
+        for theta, (a, b) in zip(thetas, ((1, 2), (0, 2), (0, 1))):
+            if theta == 0.0:
+                continue
+            sin_t = np.float32(np.sin(theta))
+            cos_t = np.float32(np.cos(theta))
+            if (a, b) == (0, 2):
+                sin_t = -sin_t
+            fa, sb = pos[:, a].copy(), pos[:, b].copy()
+            pos[:, a] = fa * cos_t - sb * sin_t
+            pos[:, b] = sb * cos_t + fa * sin_t
+        self.nodes = pos
+
+    def save_pos(self):
+        """Mesh::save_pos (mesh.cpp:320)."""
+        self._saved_pos = self.nodes.copy()
+
+    def load_pos(self):
+        """Mesh::load_pos (mesh.cpp:326)."""
+        if getattr(self, "_saved_pos", None) is None or \
+                len(self._saved_pos) != len(self.nodes):
+            raise AssertionError("# of mesh nodes has changed")
+        self.nodes = self._saved_pos.copy()
+
+    def computeVelocity(self, oldMesh: "Mesh", vel: MACGrid):
+        """Mesh::computeVelocity (mesh.cpp:375-399): per-node frame
+        displacement scattered to the MAC grid (setInterpolMAC) and
+        averaged by the accumulated weights (safeDivide)."""
+        if oldMesh.numNodes() != self.numNodes():
+            return
+        from ..core.particles import make_particles
+        from ..ops import flip as fo
+        pos = self.nodes
+        if not self.dom.is3d:
+            keep = (pos[:, 2] >= -0.5) & (pos[:, 2] <= 0.5)
+        else:
+            keep = np.ones(len(pos), bool)
+        velo = (pos - oldMesh.nodes)[keep]
+        parts = make_particles(pos[keep], capacity=max(len(velo), 1))
+        flags = jnp.zeros(self.dom.shape, jnp.int32)  # unused by scatter
+        v, _ = fo.map_parts_to_mac(parts, jnp.asarray(velo), flags,
+                                   self.dom)
+        vel.data = v
+
+    def getLevelset(self, sigma: float = 2.0, cutoff: float = -1.0):
+        """Mesh::getLevelset (mesh.h:170): computeLevelset into a fresh
+        grid."""
+        ls = LevelsetGrid(self.solver)
+        self.computeLevelset(ls, sigma, cutoff)
+        return ls
 
     def fromShape(self, shape):
         """Build from a shape's SDF via surface extraction."""

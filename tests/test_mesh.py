@@ -245,3 +245,44 @@ def test_marching_cubes_matches_reference_binary():
     A = set(cyc(t) for t in mapped)
     B = set(cyc(t) for t in np.asarray(rt))
     assert A == B  # identical oriented triangulation
+
+
+def test_mesh_transforms_vs_binary():
+    """rotate/scale/offset + computeVelocity + vertex normals + bobj world
+    round-trip vs reference-binary dumps (mesh.cpp:320-399,604-622;
+    iomeshes.cpp writeBobjFile). Goldens: a 24^3 sphere mesh transformed by
+    offset(-c), rotate(0.3,-0.7,1.1), scale(1.1,0.9,1.0), offset(c+0.5)."""
+    import os
+    from mantaflow_tpu.io.uni import (read_mesh_bobj, read_grid_uni,
+                                      compute_vertex_normals)
+    d = os.path.join(os.path.dirname(__file__), "testdata_ref")
+    gs = (24, 24, 24)
+    s = Solver(name="mx", gridSize=vec3(*gs))
+    mesh = s.create(Mesh)
+    mesh.load(os.path.join(d, "meshxf_in.bobj.gz"))
+    old = s.create(Mesh)
+    old.load(os.path.join(d, "meshxf_in.bobj.gz"))
+
+    mesh.offset(vec3(-12, -12, -12))
+    mesh.rotate(vec3(0.3, -0.7, 1.1))
+    mesh.scale(vec3(1.1, 0.9, 1.0))
+    mesh.offset(vec3(12.5, 12.5, 12.5))
+
+    rn, rt, rnorm = read_mesh_bobj(os.path.join(d, "meshxf_out.bobj.gz"),
+                                   grid_size=gs, return_normals=True)
+    assert mesh.numNodes() == len(rn)
+    assert np.abs(mesh.nodes - rn).max() < 1e-5
+    ours_norm = compute_vertex_normals(mesh.nodes, mesh.tris)
+    assert np.abs(ours_norm - rnorm).max() < 1e-5
+
+    vel = s.create(MACGrid)
+    mesh.computeVelocity(old, vel)
+    ref_vel, _ = read_grid_uni(os.path.join(d, "meshxf_vel.uni"))
+    assert np.abs(np.asarray(vel.data) - ref_vel).max() < 1e-4
+
+    # save_pos / load_pos (mesh.cpp:320-330)
+    mesh.save_pos()
+    saved = mesh.nodes.copy()
+    mesh.offset(vec3(1, 2, 3))
+    mesh.load_pos()
+    assert np.array_equal(mesh.nodes, saved)

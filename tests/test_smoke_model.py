@@ -91,6 +91,32 @@ def test_sharded_step_matches_single_device():
                                atol=1e-5)
 
 
+def test_sharded_window_path_matches_single_device():
+    """The production fast-advection path (window>0, XLA shift-select form
+    — jnp.roll shards via collective permutes) must also match
+    single-device under the 8-device mesh."""
+    res = 16
+    dom = Domain(size=(res, res, res), dim=3)
+    params = smoke.SmokeParams(buoyancy=(0.0, -6e-4, 0.0), window=3)
+    src = Sphere(center=(res / 2, res * 0.15, res / 2), radius=res * 0.15)
+    state = smoke.make_smoke_state(dom, params, source_shape=src)
+    step = jax.jit(lambda s: smoke.smoke_step(s, dom, params))
+    ref = step(step(state))
+
+    mesh = shd.make_mesh(8)
+    sstate = shd.shard_smoke_state(state, mesh)
+    out_shardings = jax.tree_util.tree_map(
+        lambda x: x.sharding if hasattr(x, "sharding") else None, sstate)
+    sstep = jax.jit(lambda s: smoke.smoke_step(s, dom, params),
+                    out_shardings=out_shardings)
+    got = sstep(sstep(sstate))
+
+    np.testing.assert_allclose(np.asarray(got.density),
+                               np.asarray(ref.density), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.vel), np.asarray(ref.vel),
+                               atol=1e-5)
+
+
 def test_graft_entry():
     import importlib.util
     import os
