@@ -256,15 +256,16 @@ def _window_kernel_dyn(*refs, k: int, bz: int, by: int, shape,
     weight (and BIG min/max penalty), so skipping them is exact. y-offsets
     are dynamic sublane slices of a 2D-haloed VMEM slab (no rolls);
     x stays the static (2k+2)-tap lane-roll loop."""
-    px_ref, py_ref, pz_ref, okm_ref, src_hbm, ok_hbm = refs[:6]
+    zb_ref, px_ref, py_ref, pz_ref, okm_ref, src_hbm, ok_hbm = refs[:7]
     del okm_ref
     if want_minmax:
-        out_ref, minv_ref, maxv_ref, have_ref = refs[6:10]
-        slab, okslab, sem, oksem = refs[10:14]
+        out_ref, minv_ref, maxv_ref, have_ref = refs[7:11]
+        slab, okslab, sem, oksem = refs[11:15]
     else:
-        out_ref = refs[6]
-        slab, okslab, sem, oksem = refs[7:11]
-    sz, sy, sx = shape
+        out_ref = refs[7]
+        slab, okslab, sem, oksem = refs[8:12]
+    sz, sy, sx = shape  # sz is the GLOBAL z extent (clamp semantics);
+    # the grid/output span the local block of a z-sharded call
     halo = k + 1
 
     z0 = pl.program_id(0) * bz
@@ -283,7 +284,8 @@ def _window_kernel_dyn(*refs, k: int, bz: int, by: int, shape,
     cy = (jax.lax.broadcasted_iota(jnp.int32, (1, by, 1), 1)
           .astype(jnp.float32) + jnp.float32(y0))
     cz = (jax.lax.broadcasted_iota(jnp.int32, (bz, 1, 1), 0)
-          .astype(jnp.float32) + jnp.float32(z0))
+          .astype(jnp.float32) + jnp.float32(z0)
+          + zb_ref[0].astype(jnp.float32))  # shard z offset (0 unsharded)
 
     nx, fx = _rel_base_frac(px_ref[:] - 0.5, cx, sx, k)
     ny, fy = _rel_base_frac(py_ref[:] - 0.5, cy, sy, k)
@@ -362,26 +364,46 @@ def _window_kernel_dyn(*refs, k: int, bz: int, by: int, shape,
 
 
 @functools.partial(jax.jit, static_argnames=("k", "want_minmax", "bz", "by",
-                                             "interpret"))
+                                             "interpret", "prehalo",
+                                             "sz_clamp"))
 def _window_pass_dyn_call(src, px, py, pz, ok_mask, k: int,
                           want_minmax: bool, bz: int, by: int,
-                          interpret: bool):
-    sz, sy, sx = src.shape
+                          interpret: bool, z_base=None,
+                          prehalo: bool = False, sz_clamp: int | None = None):
+    """prehalo=True: src (and ok_mask) arrive with the z halo already
+    attached (local block + halo planes on both sides — the z-sharded
+    shard_map path exchanges them with ppermute); z_base is this shard's
+    global z offset and sz_clamp the GLOBAL z extent for the window
+    clamp semantics."""
+    sz, sy, sx = px.shape
     halo = k + 1
     nblk_z = -(-sz // bz)
     nblk_y = -(-sy // by)
     zp, yp = nblk_z * bz, nblk_y * by
     # source: halo'd in z AND y (edge values are never selected — positions
     # are range-clamped — but keep them finite)
-    src_p = jnp.pad(src, ((halo, halo + (zp - sz)),
-                          (halo, halo + (yp - sy)), (0, 0)), mode="edge")
+    if prehalo:  # src: (sz + 2*halo, sy, sx) — z halo already attached
+        src_p = jnp.pad(src, ((0, zp - sz), (halo, halo + (yp - sy)),
+                              (0, 0)), mode="edge")
+    else:
+        src_p = jnp.pad(src, ((halo, halo + (zp - sz)),
+                              (halo, halo + (yp - sy)), (0, 0)),
+                        mode="edge")
     with_ok = ok_mask is not None
     if with_ok:
-        ok_p = jnp.pad(ok_mask.astype(jnp.float32),
-                       ((halo, halo + (zp - sz)),
-                        (halo, halo + (yp - sy)), (0, 0)))
+        if prehalo:
+            ok_p = jnp.pad(ok_mask.astype(jnp.float32),
+                           ((0, zp - sz), (halo, halo + (yp - sy)), (0, 0)))
+        else:
+            ok_p = jnp.pad(ok_mask.astype(jnp.float32),
+                           ((halo, halo + (zp - sz)),
+                            (halo, halo + (yp - sy)), (0, 0)))
     else:
         ok_p = jnp.zeros((1, 1, sx), jnp.float32)  # dummy
+    if z_base is None:
+        z_base = jnp.zeros((1,), jnp.int32)
+    if sz_clamp is None:
+        sz_clamp = sz
 
     def padzy(a):
         if zp == sz and yp == sy:
@@ -410,19 +432,21 @@ def _window_pass_dyn_call(src, px, py, pz, ok_mask, k: int,
                pltpu.SemaphoreType.DMA(())]
 
     kern = functools.partial(_window_kernel_dyn, k=k, bz=bz, by=by,
-                             shape=(sz, sy, sx), want_minmax=want_minmax,
-                             with_ok=with_ok)
+                             shape=(sz_clamp, sy, sx),
+                             want_minmax=want_minmax, with_ok=with_ok)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     outs = pl.pallas_call(
         kern,
         grid=(nblk_z, nblk_y),
-        in_specs=[blk, blk, blk, blk, hbm, hbm],
+        in_specs=[smem, blk, blk, blk, blk, hbm, hbm],
         out_specs=tuple(out_specs) if want_minmax else out_specs[0],
         out_shape=tuple(out_shapes) if want_minmax else out_shapes[0],
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(pxp, pyp_, pzp, okm, src_p, ok_p)
+    )(jnp.asarray(z_base, jnp.int32).reshape(1), pxp, pyp_, pzp, okm,
+      src_p, ok_p)
 
     if not want_minmax:
         outs = (outs,)
@@ -451,6 +475,48 @@ def window_pass(src, px, py, pz, dom: Domain, k: int, ok_mask=None,
                                      min(by, dom.shape[1]), interpret)
     return _window_pass_call(src, px, py, pz, ok_mask, k, want_minmax,
                              min(bz, dom.shape[0]), interpret)
+
+
+def window_pass_zshard(src, px, py, pz, dom: Domain, k: int,
+                       axis_name: str, n_shards: int, ok_mask=None,
+                       want_minmax: bool = False, bz: int = 8, by: int = 32):
+    """window_pass for use INSIDE a shard_map body with the z axis sharded
+    over mesh axis `axis_name` (the multi-chip path: halos ride the ICI).
+
+    Exchanges the (k+1)-plane z halos with neighbor shards via
+    lax.ppermute, then runs the local dynamic-range kernel with this
+    shard's global z offset and GLOBAL clamp extent — semantics identical
+    to the unsharded window_pass. Boundary shards use edge planes (never
+    selected: positions are globally range-clamped); the ok-mask halo of
+    boundary shards is ppermute's zero fill, matching the unsharded
+    zero pad."""
+    halo = k + 1
+    nloc = src.shape[0]
+    if nloc < halo:
+        raise ValueError(f"z shard of {nloc} planes < halo {halo}")
+    idx = jax.lax.axis_index(axis_name)
+    fwd = [(i, i + 1) for i in range(n_shards - 1)]
+    bwd = [(i + 1, i) for i in range(n_shards - 1)]
+
+    low = jax.lax.ppermute(src[-halo:], axis_name, fwd)
+    high = jax.lax.ppermute(src[:halo], axis_name, bwd)
+    low = jnp.where(idx == 0, jnp.broadcast_to(src[:1], low.shape), low)
+    high = jnp.where(idx == n_shards - 1,
+                     jnp.broadcast_to(src[-1:], high.shape), high)
+    src_h = jnp.concatenate([low, src, high], axis=0)
+
+    ok_h = None
+    if ok_mask is not None:
+        okf = ok_mask.astype(jnp.float32)
+        ok_h = jnp.concatenate(
+            [jax.lax.ppermute(okf[-halo:], axis_name, fwd), okf,
+             jax.lax.ppermute(okf[:halo], axis_name, bwd)], axis=0)
+
+    z_base = (idx * nloc).astype(jnp.int32).reshape(1)
+    return _window_pass_dyn_call(
+        src_h, px, py, pz, ok_h, k, want_minmax,
+        min(bz, nloc), min(by, dom.shape[1]), not _is_tpu(),
+        z_base=z_base, prehalo=True, sz_clamp=dom.shape[0])
 
 
 # ---------------------------------------------------------------------------

@@ -8,6 +8,7 @@ Runs in interpreter mode on the CPU test mesh.
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -105,3 +106,41 @@ def test_pallas_vs_exact_gather(flow):
     ex_m = adv.advect_mac(flags, vel, vel, 1.0, order=2)
     pl_m = advp.advect_mac_pl(flags, vel, vel, 1.0, dom, 2)
     assert float(jnp.max(jnp.abs(ex_m - pl_m))) < 2e-5
+
+
+def test_window_pass_zshard_matches_unsharded():
+    """The multi-chip z-sharded window pass (shard_map + ppermute halo
+    exchange, window_pass_zshard) must equal the single-device kernel on
+    all four minmax outputs."""
+    import numpy as np
+    from jax.sharding import Mesh, PartitionSpec as P
+    shard_map = jax.shard_map
+
+    res, k, nsh = 32, 3, 4
+    dom = Domain(size=(res, res, res), dim=3)
+    rng = np.random.RandomState(5)
+    src = jnp.asarray(rng.rand(res, res, res).astype(np.float32))
+    zz, yy, xx = np.meshgrid(np.arange(res), np.arange(res),
+                             np.arange(res), indexing="ij")
+    disp = np.stack([np.sin(yy * 0.2) * 2.5, np.cos(zz * 0.3) * 2.5,
+                     np.sin(xx * 0.15) * 2.5]).astype(np.float32)
+    px = jnp.asarray(xx + disp[0])
+    py = jnp.asarray(yy + disp[1])
+    pz = jnp.asarray(zz + disp[2])
+    ok = jnp.asarray(rng.rand(res, res, res) > 0.3)
+
+    ref = advp.window_pass(src, px, py, pz, dom, k, ok_mask=ok,
+                           want_minmax=True, dyn=True)
+
+    mesh = Mesh(np.array(jax.devices()[:nsh]), ("z",))
+    f = shard_map(
+        lambda s, a, b, c, o: advp.window_pass_zshard(
+            s, a, b, c, dom, k, "z", nsh, ok_mask=o, want_minmax=True),
+        mesh=mesh, in_specs=(P("z"),) * 5, out_specs=(P("z"),) * 4,
+        check_vma=False)  # pallas_call outputs carry no vma annotation
+    got = jax.jit(f)(src, px, py, pz, ok)
+
+    for r, g, name in zip(ref, got, ["out", "min", "max", "have"]):
+        d = float(jnp.max(jnp.abs(r.astype(jnp.float32)
+                                  - g.astype(jnp.float32))))
+        assert d < 1e-6, f"{name}: {d}"
