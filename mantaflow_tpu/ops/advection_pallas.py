@@ -41,6 +41,26 @@ def _is_tpu() -> bool:
         return False
 
 
+def _lane_mult(interpret: bool) -> int:
+    """Mosaic requires HBM->VMEM DMA slice shapes lane-aligned (128 on the
+    minormost axis), so grids with x not a multiple of 128 are edge-padded
+    up to it (padded lanes have provably zero window weight — positions are
+    range-clamped against the TRUE extent — and are sliced off the output).
+    Interpret mode has no such constraint; pad to 8 there so CPU tests
+    exercise the padded code path on odd widths."""
+    return 8 if interpret else 128
+
+
+def _pad_lanes(a, sxp: int, mode: str = "edge"):
+    pad = sxp - a.shape[-1]
+    if pad == 0:
+        return a
+    width = [(0, 0)] * (a.ndim - 1) + [(0, pad)]
+    if mode == "zero":
+        return jnp.pad(a, width)
+    return jnp.pad(a, width, mode="edge")
+
+
 def _rel_base_frac(pos, coord, n: int, k: int):
     """Window-clamped relative corner base + fraction for one axis
     (mirrors advection_fast._rel_weights; positions already -0.5 shifted
@@ -67,7 +87,10 @@ def _window_kernel(*refs, k: int, bz: int, shape, want_minmax: bool,
         out_ref = refs[6]
         slab, okslab, sem, oksem, wz_st, wy_st = refs[7:13]
         nz_st = ny_st = None
+    # `shape` is the TRUE grid extent (window-clamp semantics); the array
+    # extents come from the block (x may be lane-padded, z may be sharded)
     sz, sy, sx = shape
+    _, sy_a, sx_a = px_ref.shape  # array extents (sy_a == sy always here)
     halo = k + 1
     nsl = bz + 2 * halo
 
@@ -78,8 +101,10 @@ def _window_kernel(*refs, k: int, bz: int, shape, want_minmax: bool,
         cpo = pltpu.make_async_copy(ok_hbm.at[pl.ds(z0, nsl)], okslab, oksem)
         cpo.start()
 
-    cx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, sx), 2).astype(jnp.float32)
-    cy = jax.lax.broadcasted_iota(jnp.int32, (1, sy, 1), 1).astype(jnp.float32)
+    cx = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, sx_a), 2)
+          .astype(jnp.float32))
+    cy = (jax.lax.broadcasted_iota(jnp.int32, (1, sy_a, 1), 1)
+          .astype(jnp.float32))
     cz = (jax.lax.broadcasted_iota(jnp.int32, (bz, 1, 1), 0)
           .astype(jnp.float32) + jnp.float32(z0))
 
@@ -120,12 +145,12 @@ def _window_kernel(*refs, k: int, bz: int, shape, want_minmax: bool,
     if with_ok:
         cpo.wait()
 
-    acc0 = jnp.zeros((bz, sy, sx), jnp.float32)
-    minv0 = jnp.full((bz, sy, sx), _BIG, jnp.float32)
-    maxv0 = jnp.full((bz, sy, sx), -_BIG, jnp.float32)
+    acc0 = jnp.zeros((bz, sy_a, sx_a), jnp.float32)
+    minv0 = jnp.full((bz, sy_a, sx_a), _BIG, jnp.float32)
+    maxv0 = jnp.full((bz, sy_a, sx_a), -_BIG, jnp.float32)
     # have is carried as f32 (Mosaic cannot legalize scf.for i1-vector
     # carries): it tracks min-penalty, 0 <=> some corner was selected
-    have0 = jnp.full((bz, sy, sx), _BIG, jnp.float32)
+    have0 = jnp.full((bz, sy_a, sx_a), _BIG, jnp.float32)
 
     def body(o, carry):
         if want_minmax:
@@ -136,7 +161,7 @@ def _window_kernel(*refs, k: int, bz: int, shape, want_minmax: bool,
         izi = o // noff
         iyi = o % noff
         zsl = slab[pl.ds(izi + 1, bz)]  # slab index = oz + halo
-        yshift = (sy - iyi + k) % sy    # (-oy) mod sy, non-negative
+        yshift = (sy_a - iyi + k) % sy_a  # (-oy) mod sy_a, non-negative
         ysl = pltpu.roll(zsl, yshift, 1)
         wzy = wz_st[izi] * wy_st[iyi]
         if want_minmax:
@@ -144,13 +169,13 @@ def _window_kernel(*refs, k: int, bz: int, shape, want_minmax: bool,
             if with_ok:
                 okysl = pltpu.roll(okslab[pl.ds(izi + 1, bz)], yshift, 1)
         for ix, ox in enumerate(offs):
-            xsl = pltpu.roll(ysl, (-ox) % sx, 2)
+            xsl = pltpu.roll(ysl, (-ox) % sx_a, 2)
             acc = acc + (wzy * wxs[ix]) * xsl
             if want_minmax:
                 nots = not_zy + nxs[ix]
                 if with_ok:
                     # non-ok corners excluded from min/max and from `have`
-                    nots = nots + (1.0 - pltpu.roll(okysl, (-ox) % sx, 2)) \
+                    nots = nots + (1.0 - pltpu.roll(okysl, (-ox) % sx_a, 2)) \
                         * _BIG
                 minv = jnp.minimum(minv, xsl + nots)
                 maxv = jnp.maximum(maxv, xsl - nots)
@@ -166,7 +191,7 @@ def _window_kernel(*refs, k: int, bz: int, shape, want_minmax: bool,
         maxv_ref[:] = maxv
         # without an ok mask every cell always selects its 8 corners
         have_ref[:] = jnp.where(have < _BIG * 0.5, 1.0, 0.0) \
-            if with_ok else jnp.ones((bz, sy, sx), jnp.float32)
+            if with_ok else jnp.ones((bz, sy_a, sx_a), jnp.float32)
     else:
         acc = jax.lax.fori_loop(0, noff * noff, body, acc0)
     out_ref[:] = acc
@@ -177,6 +202,16 @@ def _window_kernel(*refs, k: int, bz: int, shape, want_minmax: bool,
 def _window_pass_call(src, px, py, pz, ok_mask, k: int,
                       want_minmax: bool, bz: int, interpret: bool):
     sz, sy, sx = src.shape
+    sx_true = sx
+    sxp = -(-sx // _lane_mult(interpret)) * _lane_mult(interpret)
+    if sxp != sx:
+        # edge-pad positions so padded lanes carry in-range values; the
+        # clamp below still uses sx_true, so their weights are all zero
+        src = _pad_lanes(src, sxp)
+        px, py, pz = (_pad_lanes(a, sxp) for a in (px, py, pz))
+        if ok_mask is not None:
+            ok_mask = _pad_lanes(ok_mask, sxp, mode="zero")
+        sx = sxp
     halo = k + 1
     nblk = -(-sz // bz)
     zp = nblk * bz
@@ -223,8 +258,8 @@ def _window_pass_call(src, px, py, pz, ok_mask, k: int,
                     pltpu.VMEM((noff, bz, sy, sx), jnp.float32)]
 
     kern = functools.partial(_window_kernel, k=k, bz=bz,
-                             shape=(sz, sy, sx), want_minmax=want_minmax,
-                             with_ok=with_ok)
+                             shape=(sz, sy, sx_true),
+                             want_minmax=want_minmax, with_ok=with_ok)
     outs = pl.pallas_call(
         kern,
         grid=(nblk,),
@@ -239,7 +274,7 @@ def _window_pass_call(src, px, py, pz, ok_mask, k: int,
 
     if not want_minmax:
         outs = (outs,)
-    outs = tuple(o[:sz] for o in outs)
+    outs = tuple(o[:sz, :, :sx_true] for o in outs)
     if want_minmax:
         out, minv, maxv, have = outs
         return out, minv, maxv, have > 0.5
@@ -264,8 +299,11 @@ def _window_kernel_dyn(*refs, k: int, bz: int, by: int, shape,
     else:
         out_ref = refs[7]
         slab, okslab, sem, oksem = refs[8:12]
-    sz, sy, sx = shape  # sz is the GLOBAL z extent (clamp semantics);
-    # the grid/output span the local block of a z-sharded call
+    # `shape` is the TRUE grid extent (window-clamp semantics): sz is the
+    # GLOBAL z extent of a z-sharded call, sx the un-lane-padded width.
+    # Array extents come from the block.
+    sz, sy, sx = shape
+    sx_a = px_ref.shape[-1]
     halo = k + 1
 
     z0 = pl.program_id(0) * bz
@@ -280,7 +318,8 @@ def _window_kernel_dyn(*refs, k: int, bz: int, by: int, shape,
             okslab, oksem)
         cpo.start()
 
-    cx = jax.lax.broadcasted_iota(jnp.int32, (1, 1, sx), 2).astype(jnp.float32)
+    cx = (jax.lax.broadcasted_iota(jnp.int32, (1, 1, sx_a), 2)
+          .astype(jnp.float32))
     cy = (jax.lax.broadcasted_iota(jnp.int32, (1, by, 1), 1)
           .astype(jnp.float32) + jnp.float32(y0))
     cz = (jax.lax.broadcasted_iota(jnp.int32, (bz, 1, 1), 0)
@@ -308,10 +347,10 @@ def _window_kernel_dyn(*refs, k: int, bz: int, by: int, shape,
     if with_ok:
         cpo.wait()
 
-    acc0 = jnp.zeros((bz, by, sx), jnp.float32)
-    minv0 = jnp.full((bz, by, sx), _BIG, jnp.float32)
-    maxv0 = jnp.full((bz, by, sx), -_BIG, jnp.float32)
-    have0 = jnp.full((bz, by, sx), _BIG, jnp.float32)
+    acc0 = jnp.zeros((bz, by, sx_a), jnp.float32)
+    minv0 = jnp.full((bz, by, sx_a), _BIG, jnp.float32)
+    maxv0 = jnp.full((bz, by, sx_a), -_BIG, jnp.float32)
+    have0 = jnp.full((bz, by, sx_a), _BIG, jnp.float32)
 
     def body(o, carry):
         if want_minmax:
@@ -338,12 +377,12 @@ def _window_kernel_dyn(*refs, k: int, bz: int, by: int, shape,
             if with_ok:
                 okzysl = okslab[pl.ds(oz + halo, bz), pl.ds(oy + halo, by)]
         for ix, ox in enumerate(offs):
-            xsl = pltpu.roll(zysl, (-ox) % sx, 2)
+            xsl = pltpu.roll(zysl, (-ox) % sx_a, 2)
             acc = acc + (wzy * wxs[ix]) * xsl
             if want_minmax:
                 nots = not_zy + nxs[ix]
                 if with_ok:
-                    nots = nots + (1.0 - pltpu.roll(okzysl, (-ox) % sx, 2)) \
+                    nots = nots + (1.0 - pltpu.roll(okzysl, (-ox) % sx_a, 2)) \
                         * _BIG
                 minv = jnp.minimum(minv, xsl + nots)
                 maxv = jnp.maximum(maxv, xsl - nots)
@@ -357,7 +396,7 @@ def _window_kernel_dyn(*refs, k: int, bz: int, by: int, shape,
         minv_ref[:] = minv
         maxv_ref[:] = maxv
         have_ref[:] = jnp.where(have < _BIG * 0.5, 1.0, 0.0) \
-            if with_ok else jnp.ones((bz, by, sx), jnp.float32)
+            if with_ok else jnp.ones((bz, by, sx_a), jnp.float32)
     else:
         acc = jax.lax.fori_loop(0, cnt_z * cnt_y, body, acc0)
     out_ref[:] = acc
@@ -376,6 +415,17 @@ def _window_pass_dyn_call(src, px, py, pz, ok_mask, k: int,
     global z offset and sz_clamp the GLOBAL z extent for the window
     clamp semantics."""
     sz, sy, sx = px.shape
+    sx_true = sx
+    sxp = -(-sx // _lane_mult(interpret)) * _lane_mult(interpret)
+    if sxp != sx:
+        # edge-pad positions so padded lanes carry in-range values (keeps
+        # the per-tile dynamic offset ranges tight); clamps use sx_true,
+        # so padded lanes' window weights are all zero
+        src = _pad_lanes(src, sxp)
+        px, py, pz = (_pad_lanes(a, sxp) for a in (px, py, pz))
+        if ok_mask is not None:
+            ok_mask = _pad_lanes(ok_mask, sxp, mode="zero")
+        sx = sxp
     halo = k + 1
     nblk_z = -(-sz // bz)
     nblk_y = -(-sy // by)
@@ -432,7 +482,7 @@ def _window_pass_dyn_call(src, px, py, pz, ok_mask, k: int,
                pltpu.SemaphoreType.DMA(())]
 
     kern = functools.partial(_window_kernel_dyn, k=k, bz=bz, by=by,
-                             shape=(sz_clamp, sy, sx),
+                             shape=(sz_clamp, sy, sx_true),
                              want_minmax=want_minmax, with_ok=with_ok)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     outs = pl.pallas_call(
@@ -450,7 +500,7 @@ def _window_pass_dyn_call(src, px, py, pz, ok_mask, k: int,
 
     if not want_minmax:
         outs = (outs,)
-    outs = tuple(o[:sz, :sy] for o in outs)
+    outs = tuple(o[:sz, :sy, :sx_true] for o in outs)
     if want_minmax:
         out, minv, maxv, have = outs
         return out, minv, maxv, have > 0.5

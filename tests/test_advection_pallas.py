@@ -108,6 +108,34 @@ def test_pallas_vs_exact_gather(flow):
     assert float(jnp.max(jnp.abs(ex_m - pl_m))) < 2e-5
 
 
+@pytest.mark.parametrize("dyn", [False, True])
+def test_window_pass_lane_padding(dyn):
+    """Grids whose x extent is not a lane multiple (128 on TPU, 8 in
+    interpret mode) are edge-padded inside the pass; results must equal
+    the XLA window path on the unpadded grid. X=20 pads to 24 here."""
+    rng = np.random.RandomState(3)
+    Z, Y, X = 12, 16, 20
+    dom = Domain(size=(X, Y, Z), dim=3)
+    src = jnp.asarray(rng.rand(Z, Y, X).astype(np.float32))
+    ok = jnp.asarray(rng.rand(Z, Y, X) > 0.3)
+    zz, yy, xx = np.meshgrid(np.arange(Z), np.arange(Y), np.arange(X),
+                             indexing="ij")
+    disp = (rng.rand(3, Z, Y, X) * 2 - 1) * 3.8
+    px = jnp.asarray((xx + 0.5 + disp[0]).astype(np.float32))
+    py = jnp.asarray((yy + 0.5 + disp[1]).astype(np.float32))
+    pz = jnp.asarray((zz + 0.5 + disp[2]).astype(np.float32))
+
+    refs = advf.window_interp(src, px, py, pz, dom, 3, ok_mask=ok,
+                              want_minmax=True)
+    outs = advp.window_pass(src, px, py, pz, dom, 3, ok_mask=ok,
+                            want_minmax=True, dyn=dyn)
+    for r, o, name in zip(refs, outs, ["out", "min", "max", "have"]):
+        r = jnp.asarray(r, jnp.float32)
+        o = jnp.asarray(o, jnp.float32)
+        assert o.shape == (Z, Y, X)
+        assert float(jnp.max(jnp.abs(r - o))) < 1e-6, name
+
+
 def test_window_pass_zshard_matches_unsharded():
     """The multi-chip z-sharded window pass (shard_map + ppermute halo
     exchange, window_pass_zshard) must equal the single-device kernel on
