@@ -117,3 +117,50 @@ def test_freesurface_drop():
     v = vel.to_numpy()
     assert np.isfinite(v).all()
     assert np.abs(v).max() < 10.0
+
+
+def test_value_transport_matches_native_fmm():
+    """The data-parallel FMM velocity transport (lso.value_transport_mac,
+    event-replay weights) must track the reference-exact serial heap
+    (native/fastmarch.cpp) on a basin+drop levelset: same upwind-weight
+    interpolation, so agreement is near-exact away from heap tie-order
+    ambiguities."""
+    import pytest
+    from mantaflow_tpu import native
+    from mantaflow_tpu.core.domain import Domain
+
+    if native.get_lib() is None:
+        pytest.skip("native fastmarch unavailable")
+
+    res = 24
+    gs = vec3(res, res, res)
+    s = Solver(name="vt", gridSize=gs)
+    flags = s.create(FlagGrid)
+    phi = s.create(LevelsetGrid)
+    flags.initDomain(boundaryWidth=1)
+    basin = Box(s, p0=gs * Vec3(0, 0, 0), p1=gs * Vec3(1, 0.25, 1))
+    drop = Sphere(s, center=gs * Vec3(0.5, 0.6, 0.5), radius=res * 0.15)
+    phi.setConst(1e10)
+    phi.join(basin.computeLevelset())
+    phi.join(drop.computeLevelset())
+    flags.updateFromLevelset(phi)
+
+    t = np.arange(res, dtype=np.float32)
+    zz, yy, xx = np.meshgrid(t, t, t, indexing="ij")
+    vel0 = np.stack([np.sin(0.4 * xx) * np.cos(0.3 * yy),
+                     np.cos(0.25 * zz) * np.sin(0.35 * xx),
+                     np.sin(0.3 * yy) * np.cos(0.2 * zz)]).astype(np.float32)
+
+    phi_ref, vel_ref = native.reinit_march(
+        np.asarray(phi.data), np.asarray(flags.data), vel0.copy(),
+        max_time=4.0)
+
+    dom = Domain(size=(res, res, res), dim=3)
+    got = np.asarray(lso.value_transport_mac(
+        jnp.asarray(phi_ref), flags.data, jnp.asarray(vel0), dom, 4.0))
+
+    band = (phi_ref > 0) & (phi_ref <= 4.0)
+    band[[0, -1], :, :] = band[:, [0, -1], :] = band[:, :, [0, -1]] = False
+    d = np.abs(got - vel_ref)[:, band]
+    assert float(d.mean()) < 5e-3
+    assert float((d > 0.05).mean()) < 0.02
