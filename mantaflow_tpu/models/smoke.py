@@ -91,9 +91,15 @@ def make_smoke_state(dom: Domain, params: SmokeParams, source_shape=None,
     )
 
 
-def smoke_step(state: SmokeState, dom: Domain, params: SmokeParams) -> SmokeState:
+def smoke_step(state: SmokeState, dom: Domain, params: SmokeParams,
+               zshard=None) -> SmokeState:
     """One simulation step; pure, jit/shard-safe. Mirrors the reference
-    plume scene loops (scenes/simpleplume.py:40-55, plume_2d.py:34-53)."""
+    plume scene loops (scenes/simpleplume.py:40-55, plume_2d.py:34-53).
+
+    zshard = (mesh, axis_name): with use_pallas, run the advection window
+    passes through the multi-chip z-sharded Pallas kernel (shard_map +
+    ppermute halo exchange over ICI) instead of relying on GSPMD to
+    partition them; the rest of the step stays GSPMD-sharded."""
     flags, vel, density = state.flags, state.vel, state.density
     ts = state.ts
 
@@ -110,11 +116,13 @@ def smoke_step(state: SmokeState, dom: Domain, params: SmokeParams) -> SmokeStat
         from ..ops import advection_pallas as advp
         density = advp.advect_real_pl(flags, vel, density, dt, dom,
                                       params.window,
-                                      order=params.advection_order)
+                                      order=params.advection_order,
+                                      zshard=zshard)
         vel = advp.advect_mac_pl(flags, vel, vel, dt, dom, params.window,
                                  order=params.advection_order,
                                  strength=params.mac_strength,
-                                 has_outflow=bool(params.open_bound))
+                                 has_outflow=bool(params.open_bound),
+                                 zshard=zshard)
     elif params.window > 0:
         from ..ops import advection_fast as advf
         density = advf.advect_real_fast(flags, vel, density, dt, dom,

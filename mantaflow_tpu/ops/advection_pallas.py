@@ -569,6 +569,36 @@ def window_pass_zshard(src, px, py, pz, dom: Domain, k: int,
         z_base=z_base, prehalo=True, sz_clamp=dom.shape[0])
 
 
+def window_pass_zshard_spmd(src, px, py, pz, dom: Domain, k: int, mesh,
+                            axis_name: str = "z", ok_mask=None,
+                            want_minmax: bool = False):
+    """GSPMD-callable form of window_pass_zshard: wraps it in a shard_map
+    over `mesh` so it drops into a jitted program whose grids are z-sharded
+    over mesh axis `axis_name` (the multi-chip smoke path). Other mesh axes
+    are treated as replicated for this op — the Pallas kernel needs full
+    y/x locally, so a y-sharded input is gathered at entry and re-sharded
+    on exit by GSPMD."""
+    from jax.sharding import PartitionSpec as P
+    n = int(mesh.shape[axis_name])
+    spec = P(axis_name)
+    with_ok = ok_mask is not None
+
+    def body(*args):
+        if with_ok:
+            s, a, b, c, o = args
+        else:
+            (s, a, b, c), o = args, None
+        return window_pass_zshard(s, a, b, c, dom, k, axis_name, n,
+                                  ok_mask=o, want_minmax=want_minmax)
+
+    f = jax.shard_map(
+        body, mesh=mesh, in_specs=(spec,) * (5 if with_ok else 4),
+        out_specs=(spec,) * 4 if want_minmax else spec,
+        check_vma=False)  # pallas_call outputs carry no vma annotation
+    args = (src, px, py, pz) + ((ok_mask,) if with_ok else ())
+    return f(*args)
+
+
 # ---------------------------------------------------------------------------
 # drivers (mirror ops/advection_fast.py, Pallas window_pass per pass)
 
@@ -582,28 +612,42 @@ def _face_positions(vel, dt, dom: Domain, c: int):
             xx + vface[0] * dt, yy + vface[1] * dt, zz + vface[2] * dt)
 
 
+def _wp(dom: Domain, k: int, zshard):
+    """window_pass bound to (dom, k), optionally through the z-sharded
+    shard_map path. zshard = (mesh, axis_name) or None."""
+    if zshard is None:
+        return lambda src, px, py, pz, **kw: window_pass(
+            src, px, py, pz, dom, k, **kw)
+    mesh, axis = zshard
+    return lambda src, px, py, pz, **kw: window_pass_zshard_spmd(
+        src, px, py, pz, dom, k, mesh, axis_name=axis, **kw)
+
+
 def advect_real_pl(flags, vel, grid, dt, dom: Domain, k: int,
-                   order: int = 2, strength: float = 1.0):
+                   order: int = 2, strength: float = 1.0, zshard=None):
     """Order-1/2 scalar advection (clampMode=2) via the Pallas window kernel.
-    Semantics identical to advection_fast.advect_real_fast."""
+    Semantics identical to advection_fast.advect_real_fast. zshard =
+    (mesh, axis_name) routes the window passes through the multi-chip
+    z-sharded kernel (halo exchange over ICI)."""
     from ..core import flags as fl
     from ..core.masks import interior_mask
     from .advection import _cell_centers, _maccormack_correct
     from ..core import mac as macops
 
+    wp = _wp(dom, k, zshard)
     inter = interior_mask(dom, 1)
     xx, yy, zz = _cell_centers(dom)
     c = macops.get_centered(vel)
     px, py, pz = xx - c[0] * dt, yy - c[1] * dt, zz - c[2] * dt
     ok = (flags & (fl.TypeFluid | fl.TypeEmpty)) != 0
     if order == 1:
-        fwd = window_pass(grid, px, py, pz, dom, k)
+        fwd = wp(grid, px, py, pz)
         return jnp.where(inter, fwd, 0.0)
-    fwd, minv, maxv, have = window_pass(grid, px, py, pz, dom, k,
-                                        ok_mask=ok, want_minmax=True)
+    fwd, minv, maxv, have = wp(grid, px, py, pz,
+                               ok_mask=ok, want_minmax=True)
     fwd = jnp.where(inter, fwd, 0.0)
     bx, by, bz_ = xx + c[0] * dt, yy + c[1] * dt, zz + c[2] * dt
-    bwd = window_pass(fwd, bx, by, bz_, dom, k)
+    bwd = wp(fwd, bx, by, bz_)
     bwd = jnp.where(inter, bwd, 0.0)
     new = _maccormack_correct(flags, grid, fwd, bwd, strength)
     out_of = (new < minv) | (new > maxv) | ~have
@@ -613,16 +657,18 @@ def advect_real_pl(flags, vel, grid, dt, dom: Domain, k: int,
 
 def advect_mac_pl(flags, vel, grid, dt, dom: Domain, k: int,
                   order: int = 2, strength: float = 1.0,
-                  has_outflow: bool = True):
+                  has_outflow: bool = True, zshard=None):
     """Order-1/2 MAC self-advection (clampMode=2) via the Pallas kernel.
     Semantics identical to advection_fast.advect_mac_fast; has_outflow=False
     statically skips the convective outflow extrapolation (a ~15-pass XLA
-    stencil) for domains with no outflow cells."""
+    stencil) for domains with no outflow cells. zshard = (mesh, axis_name)
+    routes the window passes through the multi-chip z-sharded kernel."""
     from ..core import flags as fl
     from ..core.masks import interior_mask, shift
     from .advection import (_maccormack_correct_mac, _axis_coord,
                             apply_outflow_bc)
 
+    wp = _wp(dom, k, zshard)
     inter = interior_mask(dom, 1)
     n_comp = 3 if dom.is3d else 2
     fpos = [_face_positions(vel, dt, dom, c) for c in range(n_comp)]
@@ -632,11 +678,10 @@ def advect_mac_pl(flags, vel, grid, dt, dom: Domain, k: int,
         for c in range(n_comp):
             px, py, pz = fpos[c][:3]
             if want_minmax:
-                v, mn, mx, _ = window_pass(src[c], px, py, pz, dom, k,
-                                           want_minmax=True)
+                v, mn, mx, _ = wp(src[c], px, py, pz, want_minmax=True)
                 mms.append((mn, mx))
             else:
-                v = window_pass(src[c], px, py, pz, dom, k)
+                v = wp(src[c], px, py, pz)
             comps.append(v)
         if not dom.is3d:
             comps.append(jnp.zeros_like(comps[0]))
@@ -651,7 +696,7 @@ def advect_mac_pl(flags, vel, grid, dt, dom: Domain, k: int,
     bwd_comps = []
     for c in range(n_comp):
         bx, by, bz_ = fpos[c][3:]
-        bwd_comps.append(window_pass(fwd[c], bx, by, bz_, dom, k))
+        bwd_comps.append(wp(fwd[c], bx, by, bz_))
     if not dom.is3d:
         bwd_comps.append(jnp.zeros_like(bwd_comps[0]))
     bwd = jnp.where(inter[None], jnp.stack(bwd_comps), 0.0)

@@ -94,10 +94,16 @@ def test_sharded_step_matches_single_device():
 def test_sharded_window_path_matches_single_device():
     """The production fast-advection path (window>0, XLA shift-select form
     — jnp.roll shards via collective permutes) must also match
-    single-device under the 8-device mesh."""
+    single-device under the 8-device mesh.
+
+    window=2, not 3: XLA:CPU's SPMD pipeline is superlinear in the
+    (2k+2)^3 roll/select count (measured on this host: one sharded window
+    op compiles in 4s/11s/180s at k=1/2/3, and the k=3 full step never
+    finished a 50-minute compile). k=2 exercises the identical partitioning
+    semantics; TPU production runs use the Pallas kernels instead."""
     res = 16
     dom = Domain(size=(res, res, res), dim=3)
-    params = smoke.SmokeParams(buoyancy=(0.0, -6e-4, 0.0), window=3)
+    params = smoke.SmokeParams(buoyancy=(0.0, -6e-4, 0.0), window=2)
     src = Sphere(center=(res / 2, res * 0.15, res / 2), radius=res * 0.15)
     state = smoke.make_smoke_state(dom, params, source_shape=src)
     step = jax.jit(lambda s: smoke.smoke_step(s, dom, params))
@@ -109,6 +115,41 @@ def test_sharded_window_path_matches_single_device():
         lambda x: x.sharding if hasattr(x, "sharding") else None, sstate)
     sstep = jax.jit(lambda s: smoke.smoke_step(s, dom, params),
                     out_shardings=out_shardings)
+    got = sstep(sstep(sstate))
+
+    np.testing.assert_allclose(np.asarray(got.density),
+                               np.asarray(ref.density), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.vel), np.asarray(ref.vel),
+                               atol=1e-5)
+
+
+def test_sharded_pallas_zshard_step_matches_single_device():
+    """The multi-chip Pallas advection path (use_pallas + zshard: shard_map
+    window kernel with ppermute halo exchange) must match the single-device
+    Pallas step. 1D z mesh; 16^3 grid -> 4 local planes per shard (= the
+    window-3 halo)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    res, nsh = 16, 4
+    dom = Domain(size=(res, res, res), dim=3)
+    params = smoke.SmokeParams(buoyancy=(0.0, -6e-4, 0.0), window=3,
+                               use_pallas=True)
+    src = Sphere(center=(res / 2, res * 0.15, res / 2), radius=res * 0.15)
+    state = smoke.make_smoke_state(dom, params, source_shape=src)
+    step = jax.jit(lambda s: smoke.smoke_step(s, dom, params))
+    ref = step(step(state))
+
+    mesh = Mesh(np.array(jax.devices()[:nsh]), ("z",))
+
+    def place(x):
+        if not hasattr(x, "ndim") or x.ndim < 3:
+            return x
+        spec = P(*([None] * (x.ndim - 3)), "z")
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    sstate = jax.tree_util.tree_map(place, state)
+    sstep = jax.jit(lambda s: smoke.smoke_step(s, dom, params,
+                                               zshard=(mesh, "z")))
     got = sstep(sstep(sstate))
 
     np.testing.assert_allclose(np.asarray(got.density),
