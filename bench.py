@@ -103,7 +103,7 @@ def bench_flip():
         assert int(state.buckets.dropped) == 0, "bucket overflow in bench"
 
     rec = _load_baseline()
-    baseline = rec.get("flip64_steps_per_sec_multicore_est", 0.0)
+    baseline = rec.get(f"flip{res}_steps_per_sec_multicore_est", 0.0)
     print(json.dumps({
         "metric": f"FLIP dam steps/sec @ {res}^3 (~{n_parts // 1000}k"
                   f" particles, {mode} layout, RK4+p2g+CG 1e-3 ghost fluid)"

@@ -36,12 +36,25 @@ from .flip_bucket import _tap_weights as _tapw
 _PAD = 2  # halo padding on every grid axis
 
 
-def _advect_kernel(dt_ref, velp_ref, obsp_ref, px_ref, py_ref, pz_ref,
-                   val_ref, ox_ref, oy_ref, oz_ref, *, shape, ppc, yb,
-                   integration_mode, stop_in_obstacle, ring_only):
+def tile_occupancy(valid, dom: Domain, yb: int):
+    """(sz, sy//yb) int32 tile-occupancy flags: does any valid particle sit
+    in z-plane k, y-block j? Grid tiles with no particles are skipped by the
+    bucket kernels (pl.when) — in a dam/pool scene most of the domain is
+    empty air, so this roughly halves-to-quarters the particle-kernel work.
+    ~one cheap XLA reduction over the valid mask per use."""
+    sz, sy, sx = dom.shape
+    P = valid.shape[0]
+    occ = valid.reshape(P, sz, sy // yb, yb * sx)
+    return jnp.any(jnp.any(occ, axis=0), axis=-1).astype(jnp.int32)
+
+
+def _advect_kernel(dt_ref, occ_ref, velp_ref, obsp_ref, px_ref, py_ref,
+                   pz_ref, val_ref, ox_ref, oy_ref, oz_ref, *, shape, ppc,
+                   yb, integration_mode, stop_in_obstacle, ring_only):
     sz, sy, sx = shape
     k = pl.program_id(0)
-    y0 = pl.program_id(1) * yb
+    j = pl.program_id(1)
+    y0 = j * yb
     dt = dt_ref[0]
     P = ppc
     px = px_ref[:, 0]
@@ -49,6 +62,25 @@ def _advect_kernel(dt_ref, velp_ref, obsp_ref, px_ref, py_ref, pz_ref,
     pz = pz_ref[:, 0]
     live = val_ref[:, 0] > 0.5
 
+    @pl.when(occ_ref[k, j] == 0)
+    def _skip():  # no particles in this tile: positions pass through
+        ox_ref[:, 0] = px
+        oy_ref[:, 0] = py
+        oz_ref[:, 0] = pz
+
+    @pl.when(occ_ref[k, j] > 0)
+    def _compute():
+        _advect_tile(dt, velp_ref, obsp_ref, px, py, pz, live, ox_ref,
+                     oy_ref, oz_ref, k=k, y0=y0, shape=shape, ppc=ppc,
+                     yb=yb, integration_mode=integration_mode,
+                     stop_in_obstacle=stop_in_obstacle, ring_only=ring_only)
+
+
+def _advect_tile(dt, velp_ref, obsp_ref, px, py, pz, live, ox_ref, oy_ref,
+                 oz_ref, *, k, y0, shape, ppc, yb, integration_mode,
+                 stop_in_obstacle, ring_only):
+    sz, sy, sx = shape
+    P = ppc
     cxi = jax.lax.broadcasted_iota(jnp.int32, (P, yb, sx), 2)
     cyi = jax.lax.broadcasted_iota(jnp.int32, (P, yb, sx), 1) + y0
 
@@ -182,7 +214,19 @@ def _rebin_pass_kernel(*refs, pos_idx, n_axis, ppc):
     obstacle ring (which holds no particles), exactly like the flat-roll
     XLA form.
     """
-    ins, outs = refs[:7], refs[7:]
+    occ_ref, ins, outs = refs[0], refs[1:8], refs[8:]
+
+    @pl.when(occ_ref[pl.program_id(0), pl.program_id(1)] == 0)
+    def _skip():  # no particles in these rows: fields pass through
+        for i, o in zip(ins, outs):
+            o[...] = i[...]
+
+    @pl.when(occ_ref[pl.program_id(0), pl.program_id(1)] > 0)
+    def _compute():
+        _rebin_pass_tile(ins, outs, pos_idx=pos_idx, n_axis=n_axis, ppc=ppc)
+
+
+def _rebin_pass_tile(ins, outs, *, pos_idx, n_axis, ppc):
     P = ppc
     blk = ins[0].shape  # (P, 1, rows, n_axis)
     fields = [r[...] for r in ins[:6]]
@@ -284,19 +328,24 @@ def _rebin_axis_pallas(bk, dom: Domain, axis: int, interpret: bool = False):
                              n_axis=n_axis, ppc=P)
     spec = pl.BlockSpec((P, 1, rb, n_axis), lambda i, j: (0, i, j, 0),
                         memory_space=pltpu.VMEM)
+    vview = view(bk.valid)
+    # (outer, row-block) occupancy: the pass moves particles along the last
+    # (in-block) axis only, so an empty row-block stays empty — skippable
+    occ = jnp.any(vview.reshape(P, pshape[0], rows // rb, rb * n_axis),
+                  axis=(0, 3)).astype(jnp.int32)
     ins = [view(bk.px), view(bk.py), view(bk.pz), view(bk.vx), view(bk.vy),
-           view(bk.vz), view(bk.valid.astype(jnp.float32))]
+           view(bk.vz), vview.astype(jnp.float32)]
     outs = pl.pallas_call(
         kern,
         grid=(pshape[0], rows // rb),
-        in_specs=[spec] * 7,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [spec] * 7,
         out_specs=tuple([spec] * 7),
         out_shape=tuple(jax.ShapeDtypeStruct((P,) + pshape, jnp.float32)
                         for _ in range(7)),
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(*ins)
+    )(occ, *ins)
     inv = (0,) + tuple(1 + perm.index(i) for i in range(3))
     flat = [o.transpose(inv).reshape(P, T) for o in outs[:6]]
     new_valid = outs[6].transpose(inv).reshape(P, T) > 0.5
@@ -341,6 +390,7 @@ def advect_pallas(bk, flags, vel, dt, dom: Domain, integration_mode: int = 2,
         return a.reshape(P, sz, sy, sx)
 
     yb = 8 if sy % 8 == 0 else sy
+    occ = tile_occupancy(bk.valid, dom, yb)
     kern = functools.partial(_advect_kernel, shape=dom.shape, ppc=P, yb=yb,
                              integration_mode=integration_mode,
                              stop_in_obstacle=stop_in_obstacle,
@@ -352,6 +402,7 @@ def advect_pallas(bk, flags, vel, dt, dom: Domain, integration_mode: int = 2,
         grid=(sz, sy // yb),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # dt
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # tile occupancy
             pl.BlockSpec(memory_space=pltpu.VMEM),   # velp (full)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # obsp (full)
             slab, slab, slab, slab,
@@ -362,7 +413,7 @@ def advect_pallas(bk, flags, vel, dt, dom: Domain, integration_mode: int = 2,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(dt_arr, velp, obsp, resh(bk.px), resh(bk.py), resh(bk.pz),
+    )(dt_arr, occ, velp, obsp, resh(bk.px), resh(bk.py), resh(bk.pz),
       resh(bk.valid.astype(jnp.float32)))
     nx, ny, nz = (o.reshape(P, T) for o in out)
     return dataclasses.replace(bk, px=nx, py=ny, pz=nz)

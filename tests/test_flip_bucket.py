@@ -186,3 +186,79 @@ def test_bucketed_guards():
         pressure=st2.pressure, phi=st2.phi, buckets=st2.buckets, ts=st2.ts)
     out = flip.flip_step_bucketed(st2, dom, flip.FlipParams(ghost_fluid=True))
     assert int(out.buckets.dropped) >= 1_000_000
+
+
+@pytest.fixture(scope="module")
+def corner24():
+    """Corner dam in a 24^3 box: most (z, y-block) tiles hold NO particles,
+    so the Pallas kernels' empty-tile skip branches (tile_occupancy +
+    pl.when pass-through) are exercised against the skip-free XLA forms."""
+    dom = Domain(size=(24, 24, 24), dim=3)
+    params = flip.FlipParams(gravity=(0.0, -0.003, 0.0), ghost_fluid=True)
+    st = flip.make_dam_state(dom, params, dam_frac=(0.3, 0.3, 0.35),
+                             discretization=2)
+    bk = fb.bin_from_particles(st.parts, st.pvel, dom, ppc=12)
+    rng = np.random.RandomState(7)
+    # gentle enough that no bucket overflows after one advect+rebin
+    vel = jnp.asarray(rng.randn(3, *dom.shape).astype(np.float32)) * 0.25
+    return dom, st.flags, bk, vel
+
+
+def test_pallas_advect_rebin_match_xla(corner24):
+    """Pallas advect + rebin (ops/flip_bucket_pallas.py, interpret mode)
+    match the XLA bucket forms, skip branches included."""
+    from mantaflow_tpu.ops import flip_bucket_pallas as fbp
+    dom, flags, bk, vel = corner24
+    from mantaflow_tpu.ops.flip_bucket_pallas import tile_occupancy
+    occ = np.asarray(tile_occupancy(bk.valid, dom, 8))
+    assert (occ == 0).any() and (occ == 1).any()  # both branches exercised
+
+    ref = fb.advect_bucketed(bk, flags, vel, 0.5, dom, 2)
+    got = fbp.advect_pallas(bk, flags, vel, 0.5, dom, 2, interpret=True)
+    for f in ("px", "py", "pz"):
+        np.testing.assert_allclose(np.asarray(getattr(ref, f)),
+                                   np.asarray(getattr(got, f)), atol=1e-6)
+
+    ref2 = fb.rebin(ref, dom)
+    got2 = fbp.rebin_pallas(ref, dom, interpret=True)
+    assert int(got2.dropped) == int(ref2.dropped) == 0
+    np.testing.assert_array_equal(np.asarray(ref2.valid),
+                                  np.asarray(got2.valid))
+    for f in ("px", "py", "pz", "vx", "vy", "vz"):
+        np.testing.assert_allclose(np.asarray(getattr(ref2, f)),
+                                   np.asarray(getattr(got2, f)), atol=1e-6)
+
+
+def test_pallas_transfer_kernels_match_xla_sparse(corner24):
+    """p2g / union levelset / blend Pallas kernels on the mostly-empty
+    corner dam: the y-tiled skip path must not change results."""
+    import dataclasses
+    from mantaflow_tpu.ops import flip_bucket_pallas2 as fbp2
+    dom, flags, bk, vel = corner24
+    bk = dataclasses.replace(
+        bk, vx=jnp.where(bk.valid, bk.px * 0.01, 0.0),
+        vy=jnp.where(bk.valid, bk.py * 0.02 - 0.05, 0.0),
+        vz=jnp.where(bk.valid, bk.pz * 0.005, 0.0))
+
+    v_ref, w_ref = fb.p2g_mac(bk, dom)
+    v_pl, w_pl = fbp2.p2g_mac_pallas(bk, dom, interpret=True)
+    np.testing.assert_allclose(np.asarray(v_ref), np.asarray(v_pl),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(w_ref), np.asarray(w_pl),
+                               atol=1e-5)
+
+    phi_ref = fb.union_levelset_bucketed(bk, dom)
+    phi_pl = fbp2.union_levelset_pallas(bk, dom, interpret=True)
+    np.testing.assert_allclose(np.asarray(phi_ref), np.asarray(phi_pl),
+                               atol=1e-6)
+    phi_w = fbp2.union_levelset_pallas(bk, dom, 1.5, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(fb.union_levelset_bucketed(bk, dom, 1.5)),
+        np.asarray(phi_w), atol=1e-6)
+
+    b_ref = fb.flip_update_bucketed(bk, vel, vel * 0.9, 0.97, dom)
+    b_pl = fbp2.flip_update_pallas(bk, vel, vel * 0.9, 0.97, dom,
+                                   interpret=True)
+    for f in ("vx", "vy", "vz"):
+        np.testing.assert_allclose(np.asarray(getattr(b_ref, f)),
+                                   np.asarray(getattr(b_pl, f)), atol=1e-6)
