@@ -65,6 +65,11 @@ class SmokeState:
     pressure: jnp.ndarray  # float32 [z,y,x]
     source: jnp.ndarray    # float32 [z,y,x]: emission target (0 = none)
     ts: slv.TimeState
+    # PcMGStatic: the multigrid hierarchy (level flags/stencils/masks) is a
+    # pure function of the static smoke flags, so it is built ONCE here and
+    # threaded through the step instead of being re-derived inside every
+    # jitted solve (reference pressure.cpp:250 caches GridMg per solver)
+    mg: object = None
 
 
 def make_smoke_state(dom: Domain, params: SmokeParams, source_shape=None,
@@ -81,6 +86,11 @@ def make_smoke_state(dom: Domain, params: SmokeParams, source_shape=None,
         source = jnp.where(source_shape.compute_levelset(dom) <= 0.0, 1.0, 0.0)
     else:
         source = jnp.zeros(dom.shape, dtype=jnp.float32)
+    mg = None
+    if params.preconditioner in (prs.PcMGStatic, prs.PcMGDynamic):
+        from ..ops.multigrid import build_mg_hierarchy
+        stencil = prs.make_laplace_stencil(flags, dom)
+        mg = build_mg_hierarchy(flags, dom, stencil)
     return SmokeState(
         flags=flags,
         vel=jnp.zeros((3,) + dom.shape, dtype=jnp.float32),
@@ -88,6 +98,7 @@ def make_smoke_state(dom: Domain, params: SmokeParams, source_shape=None,
         pressure=jnp.zeros(dom.shape, dtype=jnp.float32),
         source=source,
         ts=slv.TimeState.create(dt),
+        mg=mg,
     )
 
 
@@ -152,7 +163,8 @@ def smoke_step(state: SmokeState, dom: Domain, params: SmokeParams,
     vel, pressure, _, _, _ = prs.solve_pressure(
         vel, flags, dom, cg_accuracy=params.cg_accuracy,
         cg_max_iter_fac=params.cg_max_iter_fac,
-        preconditioner=params.preconditioner)
+        preconditioner=params.preconditioner,
+        mg_hierarchy=state.mg)
 
     if params.dissolve_speed > 0:
         density, _ = ext.dissolve_smoke(flags, density, dom, None,
@@ -160,7 +172,8 @@ def smoke_step(state: SmokeState, dom: Domain, params: SmokeParams,
 
     ts = slv.step(ts, params.frame_length)
     return SmokeState(flags=flags, vel=vel, density=density,
-                      pressure=pressure, source=state.source, ts=ts)
+                      pressure=pressure, source=state.source, ts=ts,
+                      mg=state.mg)
 
 
 @partial(jax.jit, static_argnames=("dom", "params", "n_steps"))

@@ -17,6 +17,8 @@ same XLA program (PcMGDynamic semantics, pressure.cpp:27).
 
 from __future__ import annotations
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 
@@ -105,25 +107,56 @@ def _levels(dom: Domain, min_size: int = 8):
     return doms
 
 
-def make_mg_preconditioner(flags, dom: Domain, fine_stencil,
-                           n_pre: int = 2, n_post: int = 2,
-                           n_coarse: int = 40, min_size: int = 8,
-                           scale: float = 4.0):
-    """Returns precond_apply(r) -> z performing one V-cycle. The fine level
-    uses the CG's stencil (incl. ghost-fluid/fractions terms); coarser
-    levels rediscretize on pooled flags."""
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class MgHierarchy:
+    """Per-level flags/stencils/masks — everything make_mg_preconditioner
+    derives from the fine flags + stencil. Building it is itself a chain of
+    full-grid ops, so solvers whose flags (and stencil) are static across
+    steps should build it ONCE at state-creation time and thread it through
+    the step as state (the reference's PcMGStatic 'cached per solver'
+    semantics, pressure.cpp:250) instead of paying the rebuild inside every
+    jitted solve."""
+    level_flags: tuple
+    level_stencils: tuple
+    masks: tuple
+    denoms: tuple
+
+
+def build_mg_hierarchy(flags, dom: Domain, fine_stencil,
+                       min_size: int = 8) -> MgHierarchy:
     doms = _levels(dom, min_size)
     level_flags = [flags]
-    level_stencils = [fine_stencil]
+    level_stencils = [tuple(fine_stencil)]
     for i in range(1, len(doms)):
         cf = _coarsen_flags(level_flags[-1], doms[i - 1])
         level_flags.append(cf)
-        level_stencils.append(make_laplace_stencil(cf, doms[i]))
+        level_stencils.append(tuple(make_laplace_stencil(cf, doms[i])))
     masks = [(fl.is_fluid(level_flags[l]) & interior_mask(doms[l], 1)
               ).astype(jnp.float32) for l in range(len(doms))]
     # prolongation weight mass of fluid coarse parents, for renormalization
     denoms = [jnp.maximum(_p0(masks[l + 1], doms[l]), 1e-6)
               for l in range(len(doms) - 1)]
+    return MgHierarchy(level_flags=tuple(level_flags),
+                       level_stencils=tuple(level_stencils),
+                       masks=tuple(masks), denoms=tuple(denoms))
+
+
+def make_mg_preconditioner(flags, dom: Domain, fine_stencil,
+                           n_pre: int = 2, n_post: int = 2,
+                           n_coarse: int = 40, min_size: int = 8,
+                           scale: float = 4.0, hierarchy=None):
+    """Returns precond_apply(r) -> z performing one V-cycle. The fine level
+    uses the CG's stencil (incl. ghost-fluid/fractions terms); coarser
+    levels rediscretize on pooled flags. Pass a prebuilt ``hierarchy``
+    (build_mg_hierarchy) to skip the per-call rebuild."""
+    doms = _levels(dom, min_size)
+    if hierarchy is None:
+        hierarchy = build_mg_hierarchy(flags, dom, fine_stencil, min_size)
+    level_flags = hierarchy.level_flags
+    level_stencils = hierarchy.level_stencils
+    masks = hierarchy.masks
+    denoms = hierarchy.denoms
 
     def prolong(l, xc):
         return masks[l] * _p0(masks[l + 1] * xc, doms[l]) / denoms[l]

@@ -254,7 +254,8 @@ def solve_pressure_system(rhs, flags, dom: Domain, stencil,
                           preconditioner: int = PcNone,
                           use_l2_norm: bool = False,
                           precond_apply=None,
-                          max_iter: int | None = None):
+                          max_iter: int | None = None,
+                          mg_hierarchy=None):
     """Run the solver on the assembled system; returns
     (pressure, iterations, resnorm).
 
@@ -269,7 +270,8 @@ def solve_pressure_system(rhs, flags, dom: Domain, stencil,
     mg_iters = jnp.int32(0)
     if precond_apply is None and preconditioner in (PcMGDynamic, PcMGStatic):
         from .multigrid import make_mg_preconditioner
-        mg_apply = make_mg_preconditioner(flags, dom, stencil)
+        mg_apply = make_mg_preconditioner(flags, dom, stencil,
+                                          hierarchy=mg_hierarchy)
         x_init, mg_iters, mg_rn = mg_richardson(
             rhs, flags, dom, stencil, mg_apply, cg_accuracy)
         precond_apply = None  # CG tail runs unpreconditioned
@@ -473,7 +475,8 @@ def solve_pressure(vel, flags, dom: Domain, cg_accuracy: float = 1e-3,
                    use_l2_norm: bool = False,
                    zero_pressure_fixing: bool = False,
                    curv=None, surf_tens: float = 0.0,
-                   precond_apply=None, max_iter: int | None = None):
+                   precond_apply=None, max_iter: int | None = None,
+                   mg_hierarchy=None):
     """Full projection; returns (vel', pressure, rhs, iterations, resnorm)."""
     rhs = make_rhs(flags, vel, dom, per_cell_corr, fractions, obvel, phi,
                    curv, surf_tens, gf_clamp, enforce_compatibility)
@@ -482,7 +485,7 @@ def solve_pressure(vel, flags, dom: Domain, cg_accuracy: float = 1e-3,
         rhs, stencil = _fix_pressure(flags, rhs, stencil, dom)
     pressure, iters, rn = solve_pressure_system(
         rhs, flags, dom, stencil, cg_accuracy, cg_max_iter_fac,
-        preconditioner, use_l2_norm, precond_apply, max_iter)
+        preconditioner, use_l2_norm, precond_apply, max_iter, mg_hierarchy)
     vel = correct_velocity(flags, vel, pressure, dom, phi, gf_clamp, curv,
                            surf_tens)
     return vel, pressure, rhs, iters, rn

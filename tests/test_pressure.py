@@ -72,3 +72,22 @@ def test_ghost_fluid_free_surface():
     # surface cells keep extra divergence from the ghost-fluid clamp
     # (gfClamp floor, pressure.cpp:126-131) — looser bound there
     assert _post_div(flags, new_vel, dom) < 2e-2
+
+
+def test_mg_prebuilt_hierarchy_matches_rebuild():
+    """PcMGStatic parity (pressure.cpp:250 caches GridMg per solver): a
+    hierarchy built once at state-creation time and passed through
+    mg_hierarchy= must give the identical solve as the in-call rebuild."""
+    from mantaflow_tpu.ops.multigrid import build_mg_hierarchy
+    dom, flags, vel = _setup()
+    stencil = prs.make_laplace_stencil(flags, dom)
+    hier = build_mg_hierarchy(flags, dom, stencil)
+    v_dyn, p_dyn, _, it_dyn, rn_dyn = prs.solve_pressure(
+        vel, flags, dom, cg_accuracy=1e-3, preconditioner=prs.PcMGStatic,
+        cg_max_iter_fac=4.0)
+    v_pre, p_pre, _, it_pre, rn_pre = prs.solve_pressure(
+        vel, flags, dom, cg_accuracy=1e-3, preconditioner=prs.PcMGStatic,
+        cg_max_iter_fac=4.0, mg_hierarchy=hier)
+    assert int(it_pre) == int(it_dyn)
+    np.testing.assert_array_equal(np.asarray(p_pre), np.asarray(p_dyn))
+    np.testing.assert_array_equal(np.asarray(v_pre), np.asarray(v_dyn))
