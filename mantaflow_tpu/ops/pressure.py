@@ -255,7 +255,9 @@ def solve_pressure_system(rhs, flags, dom: Domain, stencil,
                           use_l2_norm: bool = False,
                           precond_apply=None,
                           max_iter: int | None = None,
-                          mg_hierarchy=None):
+                          mg_hierarchy=None,
+                          use_pallas: bool = False,
+                          pallas_unit_stencil: bool = False):
     """Run the solver on the assembled system; returns
     (pressure, iterations, resnorm).
 
@@ -265,6 +267,14 @@ def solve_pressure_system(rhs, flags, dom: Domain, stencil,
     TPU redesign of the reference's MIC(0)/MG-preconditioned CG
     (pressure.cpp:396-441) with equivalent capability (solve to `accuracy`
     in few iterations).
+
+    ``use_pallas``: run the unpreconditioned-CG branch as ONE VMEM-resident
+    Pallas kernel (ops/pressure_pallas.py) when the problem qualifies
+    (3D, max-norm, identity preconditioner, working set fits in VMEM, and
+    rhs masked to fluid — the caller asserts the last via this flag).
+    ``pallas_unit_stencil``: the off-diagonals are the plain -1 fluid-link
+    form (no fractions, no zero-pressure fixing), so the kernel can derive
+    them from the fluid mask instead of holding 3 more resident fields.
     """
     x_init = None
     mg_iters = jnp.int32(0)
@@ -287,6 +297,22 @@ def solve_pressure_system(rhs, flags, dom: Domain, stencil,
             # at large residual -> ghost-fluid 1/theta amplified it into a
             # velocity blowup); 12x holds through the reference test set.
             max_iter *= 12
+
+    if (use_pallas and x_init is None and precond_apply is None
+            and not use_l2_norm):
+        from . import pressure_pallas as prp
+        # full-stencil mode measures faster than recomputing the
+        # off-diagonals in VMEM every apply (32 vs 47 ms for a 1366-iter
+        # solve @128^3 on v5e); prefer it when its 10 resident fields fit,
+        # fall back to the 7-field unit mode for larger grids
+        if prp.pallas_cg_supported(dom, unit_stencil=False):
+            return prp.cg_solve_pallas(rhs, stencil, dom, cg_accuracy,
+                                       max_iter, unit_stencil=False)
+        if pallas_unit_stencil and prp.pallas_cg_supported(
+                dom, unit_stencil=True):
+            return prp.cg_solve_pallas(
+                rhs, stencil, dom, cg_accuracy, max_iter,
+                fluid=fl.is_fluid(flags), unit_stencil=True)
 
     if precond_apply is None:
         precond_apply = lambda r: r
@@ -476,16 +502,35 @@ def solve_pressure(vel, flags, dom: Domain, cg_accuracy: float = 1e-3,
                    zero_pressure_fixing: bool = False,
                    curv=None, surf_tens: float = 0.0,
                    precond_apply=None, max_iter: int | None = None,
-                   mg_hierarchy=None):
-    """Full projection; returns (vel', pressure, rhs, iterations, resnorm)."""
+                   mg_hierarchy=None, use_pallas_cg: bool | None = None):
+    """Full projection; returns (vel', pressure, rhs, iterations, resnorm).
+
+    ``use_pallas_cg``: None (default) auto-enables the whole-solve-in-VMEM
+    Pallas CG kernel on single-chip TPU backends when the system qualifies
+    (see solve_pressure_system); True/False force it. Kill switch:
+    MANTA_NO_PALLAS_CG=1."""
     rhs = make_rhs(flags, vel, dom, per_cell_corr, fractions, obvel, phi,
                    curv, surf_tens, gf_clamp, enforce_compatibility)
     stencil = make_laplace_stencil(flags, dom, fractions, phi, gf_clamp)
-    if zero_pressure_fixing or cg_accuracy < 1e-7:
+    fixed = zero_pressure_fixing or cg_accuracy < 1e-7
+    if fixed:
         rhs, stencil = _fix_pressure(flags, rhs, stencil, dom)
+    if use_pallas_cg is None:
+        import os
+        # single-device only: a full-grid pallas_call inside a
+        # GSPMD-partitioned program would force a gather onto every chip
+        # (the sharded models keep the XLA CG, whose stencil ops partition)
+        use_pallas_cg = (jax.default_backend() == "tpu"
+                         and jax.device_count() == 1
+                         and os.environ.get("MANTA_NO_PALLAS_CG", "") != "1")
+    # the Pallas kernel requires rhs == 0 outside fluid; the global
+    # compatibility constant breaks that
+    use_pallas_cg = use_pallas_cg and not enforce_compatibility
     pressure, iters, rn = solve_pressure_system(
         rhs, flags, dom, stencil, cg_accuracy, cg_max_iter_fac,
-        preconditioner, use_l2_norm, precond_apply, max_iter, mg_hierarchy)
+        preconditioner, use_l2_norm, precond_apply, max_iter, mg_hierarchy,
+        use_pallas=use_pallas_cg,
+        pallas_unit_stencil=fractions is None and not fixed)
     vel = correct_velocity(flags, vel, pressure, dom, phi, gf_clamp, curv,
                            surf_tens)
     return vel, pressure, rhs, iters, rn

@@ -2,6 +2,8 @@
 # pattern). Run: PYTHONPATH=. python scenes/flip03_levelset.py
 import os
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), '..'))
 from mantaflow_tpu import *
 
 dim, res = 3, 48

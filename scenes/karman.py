@@ -4,6 +4,8 @@ scenes/karman.py:1-90 onto the mantaflow_tpu scene API."""
 
 import numpy as np
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), '..'))
 from mantaflow_tpu import *
 
 sec_order_bc = True

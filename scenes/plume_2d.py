@@ -1,5 +1,7 @@
 # Port of the reference scenes/plume_2d.py: 2D buoyant smoke plume with open
 # top/bottom boundaries. Run: PYTHONPATH=. python scenes/plume_2d.py
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), '..'))
 from mantaflow_tpu import *
 
 res = 64

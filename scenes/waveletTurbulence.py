@@ -5,6 +5,8 @@ import os
 
 import numpy as np
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.join(_os.path.dirname(_os.path.abspath(__file__)), '..'))
 from mantaflow_tpu import *
 from mantaflow_tpu.scene.ops2 import (applyNoiseVec3, computeEnergy,
                                       computeWaveletCoeffs, interpolateGrid,

@@ -42,11 +42,23 @@ FAST_SCENES = [
 ]
 
 
+def _cpu_env():
+    """Subprocess env that REALLY selects the CPU backend: JAX_PLATFORMS=cpu
+    alone is not enough — the axon sitecustomize on PYTHONPATH registers the
+    TPU plugin at interpreter start and pins the backend, so scene
+    subprocesses would silently run over the (flaky) TPU tunnel. Strip the
+    sitecustomize dir from PYTHONPATH (scenes add the repo to sys.path
+    themselves)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PYTHONPATH", None)
+    return env
+
+
 @pytest.mark.parametrize("scene,argv", FAST_SCENES,
                          ids=[s for s, _ in FAST_SCENES])
 def test_scene_runs(scene, argv):
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
+    env = _cpu_env()
     r = subprocess.run(
         [sys.executable, os.path.join(SCENES_DIR, scene)] + argv,
         capture_output=True, text=True, timeout=900, env=env)
@@ -57,8 +69,7 @@ def test_scene_runs(scene, argv):
 def test_flip02_to_flip03_gen_pipeline(tmp_path):
     """flip02 (MANTA_SAVE_PARTS=1) -> flip03_gen surface generation chain:
     particle .uni files round-trip into upres .bobj.gz meshes."""
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
+    env = _cpu_env()
     env["MANTA_OUT"] = str(tmp_path)
     env["MANTA_SAVE_PARTS"] = "1"
     r = subprocess.run(
