@@ -120,3 +120,29 @@ def test_sr_end_to_end():
                      .repeat(2, 2)[:8, :8, :8] * 0 + 0.5, tile=4)
     assert hi.shape == (16, 16, 16)
     assert np.isfinite(hi).all()
+
+
+def test_gan_training():
+    """tools/GAN.py equivalent: adversarial SR on tile pairs — both nets
+    train, losses stay finite, and the generator's content error drops."""
+    import jax
+    import jax.numpy as jnp
+    from mantaflow_tpu.ml import gan
+
+    rng = np.random.RandomState(0)
+    fine = jnp.asarray(rng.rand(8, 8, 8, 8, 1).astype(np.float32))
+    coarse = fine[:, ::2, ::2, ::2, :]
+    st = gan.make_gan_states(coarse[:4], fine[:4],
+                             rng=jax.random.PRNGKey(1), lr=3e-4)
+    gp, dp, go, do = (st["gen_params"], st["disc_params"],
+                      st["gen_opt"], st["disc_opt"])
+
+    def content_err(p):
+        return float(jnp.mean(jnp.abs(st["gen"].apply(p, coarse) - fine)))
+
+    e0 = content_err(gp)
+    for _ in range(30):
+        dp, do, dl = st["disc_step"](gp, dp, do, coarse, fine)
+        gp, go, gl = st["gen_step"](gp, dp, go, coarse, fine)
+    assert np.isfinite(float(dl)) and np.isfinite(float(gl))
+    assert content_err(gp) < e0
