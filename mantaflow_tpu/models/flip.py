@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from functools import partial
 
 import jax
@@ -256,7 +257,10 @@ def flip_step_bucketed(state: FlipBucketState, dom: Domain,
                                params.integration_mode,
                                stop_in_obstacle=True,
                                ring_only=params.ring_only_obstacles)
-        bk = fbp.rebin_pallas(bk, dom)
+        if os.environ.get("MANTA_REBIN_3PASS", "") == "1":
+            bk = fbp.rebin_pallas(bk, dom)   # kill switch: 3-pass form
+        else:
+            bk = fbp.rebin_fused(bk, dom)
         vel, weight = fbp2.p2g_mac_pallas(bk, dom)
     else:
         bk = fb.advect_bucketed(bk, flags, vel, dt, dom,

@@ -417,3 +417,208 @@ def advect_pallas(bk, flags, vel, dt, dom: Domain, integration_mode: int = 2,
       resh(bk.valid.astype(jnp.float32)))
     nx, ny, nz = (o.reshape(P, T) for o in out)
     return dataclasses.replace(bk, px=nx, py=ny, pz=nz)
+
+
+# ---------------------------------------------------------------------------
+# fused single-kernel rebin: all three axis passes streamed over z
+
+
+def _pass_e(pcoord, validb, cax, n_axis):
+    """Move direction per slot in {-1,0,1} (2 = invalid): truncate the
+    position to its cell, clamp border escapes to stay (same safety net as
+    flip_bucket._rebin_axis)."""
+    e = jnp.clip(pcoord.astype(jnp.int32) - cax, -1, 1)
+    tgt = cax + e
+    e = jnp.where((tgt < 0) | (tgt >= n_axis), 0, e)
+    return jnp.where(validb, e, 2)
+
+
+def _compact_plane(fields, validb, e, ax):
+    """Stable 3-way-merge compaction of one plane along in-plane axis `ax`
+    (0=y/sublanes, 1=x/lanes). fields are 6x(P, sy, sx); returns
+    (fields', validf') — invalid slots hold zeros (parking happens once, in
+    the final z-pass). Same rank/offset algebra as _rebin_pass_tile."""
+    P = fields[0].shape[0]
+    plane = fields[0].shape[1:]
+    want = [e == d for d in (-1, 0, 1)]
+    run = [jnp.zeros(plane, jnp.int32) for _ in range(3)]
+    cs = [[] for _ in range(3)]
+    for p in range(P):
+        for di in range(3):
+            run[di] = run[di] + want[di][p].astype(jnp.int32)
+            cs[di].append(run[di])
+    o0 = _shift(run[0], -1, ax)
+    o1 = _shift(run[0], -2, ax) + _shift(run[1], -1, ax)
+    cs = [jnp.stack(c) for c in cs]
+    fs = (jnp.where(want[0], cs[0] - 1, 0)
+          + jnp.where(want[1], cs[1] - 1 + o0[None], 0)
+          + jnp.where(want[2], cs[2] - 1 + o1[None], 0))
+    news = [[] for _ in range(6)]
+    vrows = []
+    for s in range(P):
+        accs = [jnp.zeros(plane, jnp.float32) for _ in range(6)]
+        vrow = jnp.zeros(plane, jnp.float32)
+        for di, d in enumerate((-1, 0, 1)):
+            ind = (want[di] & (fs == s)).astype(jnp.float32)
+            for fi in range(6):
+                accs[fi] = accs[fi] + _shift(
+                    jnp.sum(ind * fields[fi], axis=0), d, ax)
+            vrow = vrow + _shift(jnp.sum(ind, axis=0), d, ax)
+        for fi in range(6):
+            news[fi].append(accs[fi])
+        vrows.append(vrow)
+    return [jnp.stack(n) for n in news], jnp.stack(vrows)
+
+
+def _xy_plane(fields, validf, sy, sx):
+    """x-pass then y-pass for one z-plane (both are plane-local)."""
+    P = fields[0].shape[0]
+    validb = validf > 0.5
+    cx = jax.lax.broadcasted_iota(jnp.int32, (P, sy, sx), 2)
+    fields, validf = _compact_plane(fields, validb,
+                                    _pass_e(fields[0], validb, cx, sx), 1)
+    validb = validf > 0.5
+    cy = jax.lax.broadcasted_iota(jnp.int32, (P, sy, sx), 1)
+    fields, validf = _compact_plane(fields, validb,
+                                    _pass_e(fields[1], validb, cy, sy), 0)
+    return fields, validf
+
+
+def _rebin_fused_kernel(occ_ref, *refs, sz, sy, sx, ppc):
+    """Streaming all-axes rebin: grid step t computes the xy-compacted
+    plane t into a 3-slot ring buffer, then emits the z-pass result for
+    plane t-1 from ring slots t-2..t (missing neighbors are empty planes).
+    occ_ref is (sz+2,) plane occupancy padded with zeros both sides."""
+    ins, outs, scr = refs[:7], refs[7:14], refs[14]
+    P = ppc
+    t = pl.program_id(0)
+    slot = jax.lax.rem(t, 3)
+
+    def write_slot(sl, fields, validf):
+        for fi in range(6):
+            scr[pl.ds(sl * 7 + fi, 1)] = fields[fi][None]
+        scr[pl.ds(sl * 7 + 6, 1)] = validf[None]
+
+    def zero_slot(sl):
+        z = jnp.zeros((1, P, sy, sx), jnp.float32)
+        for fi in range(7):
+            scr[pl.ds(sl * 7 + fi, 1)] = z
+
+    @pl.when(t == 0)
+    def _zero_xym1():     # ring slot of plane -1 = mod(-1,3) = 2
+        zero_slot(jnp.int32(2))
+
+    @pl.when((t < sz) & (occ_ref[t + 1] > 0))
+    def _xy():
+        fields = [ins[fi][:, 0] for fi in range(6)]
+        f2, v2 = _xy_plane(fields, ins[6][:, 0], sy, sx)
+        write_slot(slot, f2, v2)
+
+    @pl.when(((t < sz) & (occ_ref[t + 1] == 0)) | (t == sz))
+    def _xy_empty():
+        zero_slot(slot)
+
+    k = t - 1
+    occ3 = occ_ref[jnp.maximum(k, 0)] + occ_ref[t] + occ_ref[t + 1]
+
+    ccx = jax.lax.broadcasted_iota(jnp.int32, (P, sy, sx), 2).astype(
+        jnp.float32) + 0.5
+    ccy = jax.lax.broadcasted_iota(jnp.int32, (P, sy, sx), 1).astype(
+        jnp.float32) + 0.5
+
+    @pl.when((t >= 1) & (occ3 > 0))
+    def _emit():
+        def read_slot(j):          # plane j -> ring slot mod(j, 3), j >= -1
+            sl = jax.lax.rem(j + 3, 3)
+            fs_ = [scr[pl.ds(sl * 7 + fi, 1)][0] for fi in range(6)]
+            return fs_, scr[pl.ds(sl * 7 + 6, 1)][0]
+        # candidate groups in arrival order: g0 movers from k+1 (ez=-1),
+        # g1 stayers at k, g2 movers from k-1 (ez=+1)
+        srcs = []
+        for j, d in ((k + 1, -1), (k, 0), (k - 1, 1)):
+            fields, validf = read_slot(j)
+            e = jnp.clip(fields[2].astype(jnp.int32) - j, -1, 1)
+            tgt = j + e
+            e = jnp.where((tgt < 0) | (tgt >= sz), 0, e)
+            e = jnp.where(validf > 0.5, e, 2)
+            w = e == d
+            run = jnp.zeros((sy, sx), jnp.int32)
+            cs = []
+            for p in range(P):
+                run = run + w[p].astype(jnp.int32)
+                cs.append(run)
+            srcs.append((fields, w, jnp.stack(cs), run))
+        off = [jnp.zeros((sy, sx), jnp.int32), srcs[0][3],
+               srcs[0][3] + srcs[1][3]]
+        zc = k.astype(jnp.float32) + 0.5
+        for s in range(P):
+            accs = [jnp.zeros((sy, sx), jnp.float32) for _ in range(6)]
+            vrow = jnp.zeros((sy, sx), jnp.float32)
+            for gi in range(3):
+                fields, w, cs, _ = srcs[gi]
+                ind = (w & (cs - 1 + off[gi][None] == s)).astype(jnp.float32)
+                for fi in range(6):
+                    accs[fi] = accs[fi] + jnp.sum(ind * fields[fi], axis=0)
+                vrow = vrow + jnp.sum(ind, axis=0)
+            hit = vrow > 0.5
+            outs[0][s, 0] = jnp.where(hit, accs[0], ccx[s])
+            outs[1][s, 0] = jnp.where(hit, accs[1], ccy[s])
+            outs[2][s, 0] = jnp.where(hit, accs[2], zc)
+            for fi in range(3, 6):
+                outs[fi][s, 0] = jnp.where(hit, accs[fi], 0.0)
+            outs[6][s, 0] = vrow
+
+    @pl.when((t >= 1) & (occ3 == 0))
+    def _emit_parked():
+        zc = k.astype(jnp.float32) + 0.5
+        outs[0][...] = ccx[:, None]
+        outs[1][...] = ccy[:, None]
+        outs[2][...] = jnp.zeros((P, 1, sy, sx), jnp.float32) + zc
+        for fi in range(3, 7):
+            outs[fi][...] = jnp.zeros((P, 1, sy, sx), jnp.float32)
+
+
+def rebin_fused(bk, dom: Domain, interpret: bool = False):
+    """All three rebin passes as ONE streaming Pallas kernel (drop-in for
+    rebin_pallas / flip_bucket.rebin). Avoids the 3-pass form's transposed
+    y/z layouts (4 full HBM transpose round-trips of 7 (PPC,T) fields) and
+    its per-pass XLA parking fixups: per step the kernel xy-compacts one
+    z-plane in VMEM and z-merges it with its ring-buffered neighbors."""
+    sz, sy, sx = dom.shape
+    P, T = bk.ppc, bk.ncells
+
+    def resh(a):
+        return a.reshape(P, sz, sy, sx)
+
+    ins = [resh(bk.px), resh(bk.py), resh(bk.pz), resh(bk.vx), resh(bk.vy),
+           resh(bk.vz), resh(bk.valid.astype(jnp.float32))]
+    occ = jnp.pad(
+        jnp.any(bk.valid.reshape(P, sz, sy * sx), axis=(0, 2)), (1, 1)
+    ).astype(jnp.int32)
+    in_spec = pl.BlockSpec((P, 1, sy, sx),
+                           lambda t: (0, jnp.minimum(t, sz - 1), 0, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((P, 1, sy, sx),
+                            lambda t: (0, jnp.maximum(t - 1, 0), 0, 0),
+                            memory_space=pltpu.VMEM)
+    kern = functools.partial(_rebin_fused_kernel, sz=sz, sy=sy, sx=sx, ppc=P)
+    outs = pl.pallas_call(
+        kern,
+        grid=(sz + 1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [in_spec] * 7,
+        out_specs=tuple([out_spec] * 7),
+        out_shape=tuple(jax.ShapeDtypeStruct((P, sz, sy, sx), jnp.float32)
+                        for _ in range(7)),
+        scratch_shapes=[pltpu.VMEM((21, P, sy, sx), jnp.float32)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(occ, *ins)
+    flat = [o.reshape(P, T) for o in outs[:6]]
+    new_valid = outs[6].reshape(P, T) > 0.5
+    total = jnp.sum(bk.valid.astype(jnp.int32))
+    dropped = bk.dropped + (
+        total - jnp.sum(new_valid.astype(jnp.int32))).astype(jnp.int32)
+    from .flip_bucket import Buckets
+    return Buckets(px=flat[0], py=flat[1], pz=flat[2], vx=flat[3],
+                   vy=flat[4], vz=flat[5], valid=new_valid, dropped=dropped)

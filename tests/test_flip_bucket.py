@@ -262,3 +262,48 @@ def test_pallas_transfer_kernels_match_xla_sparse(corner24):
     for f in ("vx", "vy", "vz"):
         np.testing.assert_allclose(np.asarray(getattr(b_ref, f)),
                                    np.asarray(getattr(b_pl, f)), atol=1e-6)
+
+
+def test_rebin_fused_matches_xla(corner24):
+    """Single-kernel streaming rebin (rebin_fused) == 3-pass XLA rebin on
+    the mostly-empty corner dam (plane-skip + ring-buffer edges included)."""
+    from mantaflow_tpu.ops import flip_bucket_pallas as fbp
+    dom, flags, bk, vel = corner24
+    moved = fb.advect_bucketed(bk, flags, vel, 0.5, dom, 2)
+    ref = fb.rebin(moved, dom)
+    got = fbp.rebin_fused(moved, dom, interpret=True)
+    assert int(got.dropped) == int(ref.dropped) == 0
+    np.testing.assert_array_equal(np.asarray(ref.valid),
+                                  np.asarray(got.valid))
+    for f in ("px", "py", "pz", "vx", "vy", "vz"):
+        np.testing.assert_allclose(np.asarray(getattr(ref, f)),
+                                   np.asarray(getattr(got, f)), atol=1e-6)
+
+
+def test_rebin_fused_overflow_drops_match():
+    """Bucket overflow: both forms drop the same (merge-order-last)
+    particles and report the same dropped count."""
+    from mantaflow_tpu.ops import flip_bucket_pallas as fbp
+    dom = Domain(size=(8, 8, 8), dim=3)
+    # 5 particles converging into cell (3,3,3) with ppc=4 -> 1 drop
+    pos = np.array([[3.5, 3.5, 3.5], [2.6, 3.5, 3.5], [4.4, 3.5, 3.5],
+                    [3.5, 2.7, 3.5], [3.5, 3.5, 4.3]], np.float32)
+    parts = cp.make_particles(pos, capacity=8)
+    pvel = jnp.arange(8 * 3, dtype=jnp.float32).reshape(8, 3) * 0.01
+    bk = fb.bin_from_particles(parts, pvel, dom, ppc=4)
+    # pull everyone toward the center cell
+    tgt = np.array([3.5, 3.5, 3.5], np.float32)
+    import dataclasses
+    bk = dataclasses.replace(
+        bk,
+        px=jnp.where(bk.valid, bk.px + 0.9 * (tgt[0] - bk.px), bk.px),
+        py=jnp.where(bk.valid, bk.py + 0.9 * (tgt[1] - bk.py), bk.py),
+        pz=jnp.where(bk.valid, bk.pz + 0.9 * (tgt[2] - bk.pz), bk.pz))
+    ref = fb.rebin(bk, dom)
+    got = fbp.rebin_fused(bk, dom, interpret=True)
+    assert int(ref.dropped) == int(got.dropped) == 1
+    np.testing.assert_array_equal(np.asarray(ref.valid),
+                                  np.asarray(got.valid))
+    for f in ("px", "py", "pz", "vx", "vy", "vz"):
+        np.testing.assert_allclose(np.asarray(getattr(ref, f)),
+                                   np.asarray(getattr(got, f)), atol=1e-6)
