@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Batch driver for the zflip method-comparison runs.
+
+Port of reference scenes/run.py (the zoharl3 fork's experiment driver:
+clears the output root, runs zflip.py once per method index, tees each
+run's log next to its outputs, and stops early when a run exits without
+leaving a log). The Windows-only pieces (copy_log.bat, keyboard pauses,
+ConEmu color plumbing, MATLAB log relocation) have no TPU-host analog and
+are dropped; the contract kept is: methods list -> one zflip run each,
+per-run log file, graceful-exit check, nonzero exit on failure.
+
+Usage:
+    python scenes/run.py [out_dir] [frames] [res]
+
+Method indices match run.py:10-13 / zflip.py: 0=FLIP, 1=FIXED_VOL,
+2=CORRECT19 (DE_GOES22 / MATLAB_FLIP are not shipped by the fork's binary
+either; see PARITY.md §2.14).
+"""
+import os
+import shutil
+import subprocess
+import sys
+from pathlib import Path
+
+#   0       1          2
+# FLIP, FIXED_VOL, CORRECT19   (reference run.py:10-13)
+methods = [1]
+# methods = [0, 1]
+# methods = [0, 2, 1]
+
+HERE = Path(__file__).resolve().parent
+script = HERE / "zflip.py"
+
+
+def run(method: int, out_dir: Path, frames: int, res: int) -> bool:
+    """One zflip run; returns True if it ended gracefully (log written)."""
+    out_dir.mkdir(parents=True, exist_ok=True)
+    log = out_dir / "_log.txt"   # reference: _log.ans (ANSI tee)
+    cmd = [sys.executable, str(script), str(method), str(frames), str(res)]
+    print(" ".join(cmd))
+    with open(log, "w") as f:
+        proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                                stderr=subprocess.STDOUT, text=True)
+        for line in proc.stdout:
+            sys.stdout.write(line)
+            f.write(line)
+        proc.wait()
+    print()
+    return proc.returncode == 0
+
+
+def main() -> int:
+    out_root = Path(sys.argv[1] if len(sys.argv) > 1 else HERE / "out")
+    frames = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    res = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+
+    # delete first-level dirs under the output root (reference run.py:52-68)
+    if out_root.exists():
+        for path in out_root.iterdir():
+            if path.is_dir():
+                shutil.rmtree(path)
+            else:
+                path.unlink()
+
+    names = {0: "flip", 1: "fixed_vol", 2: "correct19"}
+    for method in methods:
+        out_dir = out_root / f"{method}_{names.get(method, 'method')}"
+        ok = run(method, out_dir, frames, res)
+        log = out_dir / "_log.txt"
+        if not ok or not log.exists():
+            print(f"log doesn't exist or run failed (premature exit): "
+                  f"'{log}'")
+            return -1
+
+    print("run.py is done")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
