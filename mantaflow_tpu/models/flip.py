@@ -257,10 +257,14 @@ def flip_step_bucketed(state: FlipBucketState, dom: Domain,
                                params.integration_mode,
                                stop_in_obstacle=True,
                                ring_only=params.ring_only_obstacles)
-        if os.environ.get("MANTA_REBIN_3PASS", "") == "1":
-            bk = fbp.rebin_pallas(bk, dom)   # kill switch: 3-pass form
-        else:
+        if os.environ.get("MANTA_REBIN_FUSED", "") == "1":
+            # opt-in: the fused streaming rebin currently SIGABRTs the
+            # Mosaic compiler on real TPU (tpu_compile_helper "limits[i] <=
+            # dim(i)"); interpret-mode numerics match, so it stays behind a
+            # flag until the kernel compiles on hardware
             bk = fbp.rebin_fused(bk, dom)
+        else:
+            bk = fbp.rebin_pallas(bk, dom)
         vel, weight = fbp2.p2g_mac_pallas(bk, dom)
     else:
         bk = fb.advect_bucketed(bk, flags, vel, dt, dom,
