@@ -258,10 +258,10 @@ def flip_step_bucketed(state: FlipBucketState, dom: Domain,
                                stop_in_obstacle=True,
                                ring_only=params.ring_only_obstacles)
         if os.environ.get("MANTA_REBIN_FUSED", "") == "1":
-            # opt-in: the fused streaming rebin currently SIGABRTs the
-            # Mosaic compiler on real TPU (tpu_compile_helper "limits[i] <=
-            # dim(i)"); interpret-mode numerics match, so it stays behind a
-            # flag until the kernel compiles on hardware
+            # opt-in: bit-exact vs the 3-pass form on hardware, but 7.5x
+            # SLOWER measured on v5e @64^3 (57 vs 7.6 ms — the per-plane
+            # xy-compaction + unrolled z-merge is compute-bound); kept as
+            # the reference streaming formulation, not the default
             bk = fbp.rebin_fused(bk, dom)
         else:
             bk = fbp.rebin_pallas(bk, dom)

@@ -528,6 +528,14 @@ def _rebin_fused_kernel(occ_ref, *refs, sz, sy, sx, ppc):
 
     @pl.when((t >= 1) & (occ3 > 0))
     def _emit():
+        # 2D parking coordinates: indexing the 3D iota (ccx[s]) SIGABRTs
+        # the Mosaic compiler ("limits[i] <= dim(i)"); the rows are
+        # s-independent anyway, so build them at plane rank
+        ccx2 = jax.lax.broadcasted_iota(jnp.int32, (sy, sx), 1).astype(
+            jnp.float32) + 0.5
+        ccy2 = jax.lax.broadcasted_iota(jnp.int32, (sy, sx), 0).astype(
+            jnp.float32) + 0.5
+
         def read_slot(j):          # plane j -> ring slot mod(j, 3), j >= -1
             sl = jax.lax.rem(j + 3, 3)
             fs_ = [scr[pl.ds(sl * 7 + fi, 1)][0] for fi in range(6)]
@@ -561,8 +569,8 @@ def _rebin_fused_kernel(occ_ref, *refs, sz, sy, sx, ppc):
                     accs[fi] = accs[fi] + jnp.sum(ind * fields[fi], axis=0)
                 vrow = vrow + jnp.sum(ind, axis=0)
             hit = vrow > 0.5
-            outs[0][s, 0] = jnp.where(hit, accs[0], ccx[s])
-            outs[1][s, 0] = jnp.where(hit, accs[1], ccy[s])
+            outs[0][s, 0] = jnp.where(hit, accs[0], ccx2)
+            outs[1][s, 0] = jnp.where(hit, accs[1], ccy2)
             outs[2][s, 0] = jnp.where(hit, accs[2], zc)
             for fi in range(3, 6):
                 outs[fi][s, 0] = jnp.where(hit, accs[fi], 0.0)
