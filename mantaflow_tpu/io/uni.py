@@ -43,8 +43,13 @@ def _element_type(arr, grid_type: int):
     return 2, 12
 
 
-def write_grid_uni(filename: str, data, grid_type: int = TypeReal):
-    """Write a grid ([z,y,x] scalar/int or (3,z,y,x) vec) as .uni."""
+def write_grid_uni(filename: str, data, grid_type: int = TypeReal,
+                   info: bytes | str | None = None):
+    """Write a grid ([z,y,x] scalar/int or (3,z,y,x) vec) as .uni.
+
+    ``info`` fills the header's free-form 252-byte info field (the reference
+    stamps its build string there, iogrids.cpp writeGridUni); the golden
+    harness uses it to record the generating platform (tests/golden.py)."""
     arr = np.asarray(data)
     if arr.ndim == 4:  # (3,z,y,x) -> (z,y,x,3)
         arr = np.moveaxis(arr, 0, -1)
@@ -53,9 +58,13 @@ def write_grid_uni(filename: str, data, grid_type: int = TypeReal):
         arr = arr.astype(np.int32)
     else:
         arr = arr.astype(np.float32)
+    if info is None:
+        info = _INFO
+    elif isinstance(info, str):
+        info = info.encode()
     sz, sy, sx = arr.shape[0], arr.shape[1], arr.shape[2]
     header = struct.pack(_HEADER_FMT, sx, sy, sz, grid_type, etype, bpe,
-                         _INFO.ljust(252, b"\0"), 0, int(time.time()))
+                         info[:252].ljust(252, b"\0"), 0, int(time.time()))
     with gzip.open(filename, "wb", compresslevel=1) as f:
         f.write(b"MNT3")
         f.write(header)

@@ -508,7 +508,18 @@ def solve_pressure(vel, flags, dom: Domain, cg_accuracy: float = 1e-3,
     ``use_pallas_cg``: None (default) auto-enables the whole-solve-in-VMEM
     Pallas CG kernel on single-chip TPU backends when the system qualifies
     (see solve_pressure_system); True/False force it. Kill switch:
-    MANTA_NO_PALLAS_CG=1."""
+    MANTA_NO_PALLAS_CG=1.
+
+    Solver auto-selection (reference parity: solvePressure defaults to a
+    PRECONDITIONED solve, pressure.cpp:404-434 mIC/MG): when the caller
+    leaves the preconditioner at PcNone/PcMIC and asks for a tight tolerance
+    (cg_accuracy <= 1e-4, where float32 plain CG needs hundreds of
+    iterations and may stall), multigrid V-cycles + CG tail are selected
+    automatically — unless the whole-solve-in-VMEM Pallas CG takes the
+    solve, which is measured faster than MG at that tolerance on TPU
+    (BASELINE.md: 204 iters x 0.023 ms vs 12.8 ms MG @128^3 1e-4). Kill
+    switch: MANTA_NO_AUTO_MG=1."""
+    import os
     rhs = make_rhs(flags, vel, dom, per_cell_corr, fractions, obvel, phi,
                    curv, surf_tens, gf_clamp, enforce_compatibility)
     stencil = make_laplace_stencil(flags, dom, fractions, phi, gf_clamp)
@@ -516,7 +527,6 @@ def solve_pressure(vel, flags, dom: Domain, cg_accuracy: float = 1e-3,
     if fixed:
         rhs, stencil = _fix_pressure(flags, rhs, stencil, dom)
     if use_pallas_cg is None:
-        import os
         # single-device only: a full-grid pallas_call inside a
         # GSPMD-partitioned program would force a gather onto every chip
         # (the sharded models keep the XLA CG, whose stencil ops partition)
@@ -526,6 +536,23 @@ def solve_pressure(vel, flags, dom: Domain, cg_accuracy: float = 1e-3,
     # the Pallas kernel requires rhs == 0 outside fluid; the global
     # compatibility constant breaks that
     use_pallas_cg = use_pallas_cg and not enforce_compatibility
+
+    if (preconditioner in (PcNone, PcMIC) and cg_accuracy <= 1e-4
+            and precond_apply is None and not use_l2_norm
+            and fractions is None and phi is None and not fixed
+            and os.environ.get("MANTA_NO_AUTO_MG", "") != "1"):
+        # plain unit stencils only: the Jacobi-smoothed V-cycle is a
+        # validated contraction there (BASELINE.md MG table); ghost-fluid /
+        # fraction-weighted systems keep plain CG (the V-cycle can diverge
+        # on their modified operators — observed on test_1075/2045/2050)
+        from . import pressure_pallas as prp
+        pallas_takes_it = use_pallas_cg and (
+            prp.pallas_cg_supported(dom, unit_stencil=False)
+            or prp.pallas_cg_supported(dom, unit_stencil=True))
+        if not pallas_takes_it:
+            # PcMGStatic when the caller cached a hierarchy, else dynamic
+            preconditioner = (PcMGStatic if mg_hierarchy is not None
+                              else PcMGDynamic)
     pressure, iters, rn = solve_pressure_system(
         rhs, flags, dom, stencil, cg_accuracy, cg_max_iter_fac,
         preconditioner, use_l2_norm, precond_apply, max_iter, mg_hierarchy,

@@ -33,20 +33,25 @@ script = HERE / "zflip.py"
 
 
 def run(method: int, out_dir: Path, frames: int, res: int) -> bool:
-    """One zflip run; returns True if it ended gracefully (log written)."""
+    """One zflip run; returns True if it ended gracefully (exit 0 AND the
+    teed log holds zflip's final summary line — the tee itself creates the
+    file, so mere existence can't signal a graceful exit)."""
     out_dir.mkdir(parents=True, exist_ok=True)
     log = out_dir / "_log.txt"   # reference: _log.ans (ANSI tee)
     cmd = [sys.executable, str(script), str(method), str(frames), str(res)]
     print(" ".join(cmd))
     with open(log, "w") as f:
+        # cwd=out_dir so any files zflip grows later land next to its log
         proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
-                                stderr=subprocess.STDOUT, text=True)
+                                stderr=subprocess.STDOUT, text=True,
+                                cwd=out_dir)
         for line in proc.stdout:
             sys.stdout.write(line)
             f.write(line)
         proc.wait()
     print()
-    return proc.returncode == 0
+    graceful = "zflip method=" in log.read_text()  # zflip.py's last line
+    return proc.returncode == 0 and graceful
 
 
 def main() -> int:
@@ -54,15 +59,20 @@ def main() -> int:
     frames = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     res = int(sys.argv[3]) if len(sys.argv) > 3 else 32
 
-    # delete first-level dirs under the output root (reference run.py:52-68)
+    names = {0: "flip", 1: "fixed_vol", 2: "correct19"}
+
+    # clear previous results under the output root (reference run.py:52-68),
+    # but ONLY entries this driver itself creates (<method>_<name> dirs and
+    # their logs) — a mistyped out_dir must not destroy unrelated data
+    ours = {f"{m}_{n}" for m, n in names.items()}
     if out_root.exists():
         for path in out_root.iterdir():
-            if path.is_dir():
+            if path.is_dir() and path.name in ours:
                 shutil.rmtree(path)
-            else:
+            elif not path.is_dir() and path.name.startswith("_log"):
                 path.unlink()
-
-    names = {0: "flip", 1: "fixed_vol", 2: "correct19"}
+            else:
+                print(f"leaving unrecognized entry alone: '{path}'")
     for method in methods:
         out_dir = out_root / f"{method}_{names.get(method, 'method')}"
         ok = run(method, out_dir, frames, res)

@@ -91,3 +91,26 @@ def test_mg_prebuilt_hierarchy_matches_rebuild():
     assert int(it_pre) == int(it_dyn)
     np.testing.assert_array_equal(np.asarray(p_pre), np.asarray(p_dyn))
     np.testing.assert_array_equal(np.asarray(v_pre), np.asarray(v_dyn))
+
+
+def test_auto_mg_at_tight_tolerance(monkeypatch):
+    """Out-of-the-box tight-tolerance solves select the MG-accelerated path
+    (reference parity: solvePressure defaults to a preconditioned solve,
+    pressure.cpp:404-434) without a hand-set preconditioner flag."""
+    dom, flags, vel = _setup()
+    # default call at 1e-4 == explicit PcMGDynamic call, bit for bit
+    v_auto, p_auto, _, it_auto, rn_auto = prs.solve_pressure(
+        vel, flags, dom, cg_accuracy=1e-4, cg_max_iter_fac=4.0)
+    v_mg, p_mg, _, it_mg, _ = prs.solve_pressure(
+        vel, flags, dom, cg_accuracy=1e-4, preconditioner=prs.PcMGDynamic,
+        cg_max_iter_fac=4.0)
+    assert float(rn_auto) < 1e-4
+    assert int(it_auto) == int(it_mg)
+    np.testing.assert_array_equal(np.asarray(p_auto), np.asarray(p_mg))
+
+    # kill switch restores plain CG (more iterations for the same target)
+    monkeypatch.setenv("MANTA_NO_AUTO_MG", "1")
+    _, _, _, it_plain, rn_plain = prs.solve_pressure(
+        vel, flags, dom, cg_accuracy=1e-4, cg_max_iter_fac=8.0)
+    assert float(rn_plain) < 1e-4
+    assert int(it_plain) > int(it_auto)
