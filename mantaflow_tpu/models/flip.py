@@ -200,6 +200,13 @@ class FlipBucketState:
     phi: jnp.ndarray
     buckets: fb.Buckets
     ts: slv.TimeState
+    # the bucketed step applies the FLIP blend of step t at the HEAD of
+    # step t+1 (fused into the advection kernel — flip_bucket_pallas module
+    # doc); True = the last step's blend is still pending. Grid-side state
+    # evolution is identical to blend-at-tail order (nothing reads particle
+    # velocities between); call finalize_buckets before reading them.
+    blend_pending: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.zeros((), jnp.bool_))
 
 
 def make_dam_state_bucketed(dom: Domain, params: FlipParams,
@@ -222,8 +229,15 @@ def make_dam_state_bucketed(dom: Domain, params: FlipParams,
 
 def flip_step_bucketed(state: FlipBucketState, dom: Domain,
                        params: FlipParams) -> FlipBucketState:
-    """flip_step on the bucket layout (same op order as flip_step /
+    """flip_step on the bucket layout (same op chain as flip_step /
     scenes/flip01_simple.py:47-68); FLIP blend only (no APIC channel yet).
+
+    Pipeline note: the FLIP blend of step t runs at the HEAD of step t+1
+    (fused into the advection kernel on TPU — free v_new taps). Grid-state
+    evolution is identical to the tail-order flat step because nothing
+    reads particle velocities between a step's tail and the next head; the
+    externally visible bucket velocities lag one blend — finalize_buckets
+    applies it on demand.
 
     The bucket layout relies on the CFL<=1 contract: particles move at most
     one cell per step (advect clamps displacements to guarantee the rebin's
@@ -250,13 +264,17 @@ def flip_step_bucketed(state: FlipBucketState, dom: Domain,
     bk = dataclasses.replace(bk, dropped=bk.dropped + 1_000_000 * viol)
 
     on_tpu = jax.default_backend() == "tpu"
+    pending = state.blend_pending
     if on_tpu:
         from ..ops import flip_bucket_pallas as fbp
         from ..ops import flip_bucket_pallas2 as fbp2
-        bk = fbp.advect_pallas(bk, flags, vel, dt, dom,
-                               params.integration_mode,
-                               stop_in_obstacle=True,
-                               ring_only=params.ring_only_obstacles)
+        # deferred FLIP blend of the PREVIOUS step fused into stage 1 of
+        # the advection (same positions, same tap set — free v_new)
+        bk = fbp.advect_blend_pallas(bk, flags, vel, state.vel_old, dt,
+                                     pending, params.flip_ratio, dom,
+                                     params.integration_mode,
+                                     stop_in_obstacle=True,
+                                     ring_only=params.ring_only_obstacles)
         if os.environ.get("MANTA_REBIN_FUSED", "") == "1":
             # opt-in: bit-exact vs the 3-pass form on hardware, but 7.5x
             # SLOWER measured on v5e @64^3 (57 vs 7.6 ms — the per-plane
@@ -267,6 +285,12 @@ def flip_step_bucketed(state: FlipBucketState, dom: Domain,
             bk = fbp.rebin_pallas(bk, dom)
         vel, weight = fbp2.p2g_mac_pallas(bk, dom)
     else:
+        blended = fb.flip_update_bucketed(bk, vel, state.vel_old,
+                                          params.flip_ratio, dom)
+        bk = dataclasses.replace(
+            bk, vx=jnp.where(pending, blended.vx, bk.vx),
+            vy=jnp.where(pending, blended.vy, bk.vy),
+            vz=jnp.where(pending, blended.vz, bk.vz))
         bk = fb.advect_bucketed(bk, flags, vel, dt, dom,
                                 params.integration_mode,
                                 stop_in_obstacle=True,
@@ -298,16 +322,29 @@ def flip_step_bucketed(state: FlipBucketState, dom: Domain,
     vel = ext.set_wall_bcs(flags, vel, dom)
     vel = xtr.extrapolate_mac_simple(flags, vel, dom, params.extrap_vel_dist)
 
-    if on_tpu:
-        bk = fbp2.flip_update_pallas(bk, vel, vel_old, params.flip_ratio,
-                                     dom)
-    else:
-        bk = fb.flip_update_bucketed(bk, vel, vel_old, params.flip_ratio,
-                                     dom)
-
+    # this step's blend is DEFERRED to the head of the next step (or to
+    # finalize_buckets) — see blend_pending
     ts = slv.step(ts, params.frame_length)
     return FlipBucketState(flags=flags, vel=vel, vel_old=vel_old,
-                           pressure=pressure, phi=phi, buckets=bk, ts=ts)
+                           pressure=pressure, phi=phi, buckets=bk, ts=ts,
+                           blend_pending=jnp.ones((), jnp.bool_))
+
+
+def finalize_buckets(state: FlipBucketState, dom: Domain,
+                     params: FlipParams) -> FlipBucketState:
+    """Apply the deferred FLIP blend of the LAST step (no-op when not
+    pending). Call before reading particle velocities out of the bucket
+    state; grid fields never need it."""
+    bk = state.buckets
+    blended = fb.flip_update_bucketed(bk, state.vel, state.vel_old,
+                                      params.flip_ratio, dom)
+    pend = state.blend_pending
+    bk = dataclasses.replace(
+        bk, vx=jnp.where(pend, blended.vx, bk.vx),
+        vy=jnp.where(pend, blended.vy, bk.vy),
+        vz=jnp.where(pend, blended.vz, bk.vz))
+    return dataclasses.replace(state, buckets=bk,
+                               blend_pending=jnp.zeros((), jnp.bool_))
 
 
 @functools.lru_cache(maxsize=8)

@@ -3,18 +3,29 @@
 The XLA form of ``flip_bucket.advect_bucketed`` materializes every tap's
 (PPC, T) weight/accumulator intermediate in HBM (~26 ms at 64^3 x 459k
 particles, memory-bound). This kernel runs the complete RK4 advection for
-one z-slab of buckets with everything resident in VMEM: the velocity field
-is loaded once (padded, so every window tap is a static in-bounds slice),
-weights live in registers/VMEM scratch, and HBM traffic collapses to
-read-positions + write-positions.
+one z-plane of buckets with everything hot in VMEM.
+
+Resolution-independent z-plane streaming (the round-4 redesign): instead of
+keeping the whole padded velocity field VMEM-resident (which capped the
+round-3 kernel at ~96^3 and hit Mosaic dynamic-sublane-alignment failures
+at 128^3), the velocity arrives as FIVE overlapping z-plane BlockSpecs
+(dz = -2..+2 around the current plane, double-buffered by the Pallas
+pipeline) and the obstacle mask as three. Every in-plane tap is then a
+STATIC slice; the per-plane y-block loop is a python loop, so occupancy
+skipping keeps its (z, y-block) granularity from round 3.
+
+Optionally the FLIP velocity blend (flipVelocityUpdate, flip.cpp:727-744)
+is FUSED into the first RK stage: stage-1 positions are exactly the drift-0
+positions the blend evaluates at, and its tap set (own {0,1}, cross
+{-1,0,1}) is stage 1's, so v_new comes free and only the vel_old taps are
+extra. models/flip.py moves the blend from the tail of step t to the head
+of step t+1 (identical data flow — nothing reads particle velocities in
+between) to exploit this.
 
 Semantics are identical to the XLA path: BUILD_INDEX border clamping
 (util/interpol.h:52-68), MAC per-component shifts (interpol.h:113-166), the
 fork's RK4 weighting (util/integrator.h:49-72), stop-in-obstacle stage
 zeroing + KnClampPositions + bisectBacktracePos (particle.h:485-525).
-
-Scope: 3D, whole velocity field resident in VMEM (fine through ~96^3; the
-128^3-class variant would DMA z-windows on demand).
 """
 
 from __future__ import annotations
@@ -48,46 +59,72 @@ def tile_occupancy(valid, dom: Domain, yb: int):
     return jnp.any(jnp.any(occ, axis=0), axis=-1).astype(jnp.int32)
 
 
-def _advect_kernel(dt_ref, occ_ref, velp_ref, obsp_ref, px_ref, py_ref,
-                   pz_ref, val_ref, ox_ref, oy_ref, oz_ref, *, shape, ppc,
-                   yb, integration_mode, stop_in_obstacle, ring_only):
+def _advect_kernel(sc_ref, occ_ref, *refs, shape, ppc, yb,
+                   integration_mode, stop_in_obstacle, ring_only,
+                   with_blend, flip_ratio):
+    """One z-plane of buckets per grid step. refs layout (static counts):
+    5 vel z-planes [dz=-2..2] · (3 vel_old z-planes if with_blend) ·
+    (3 obstacle z-planes unless ring_only) · slab ins px py pz valid
+    (+ vx vy vz if with_blend) · slab outs ox oy oz (+ ovx ovy ovz)."""
     sz, sy, sx = shape
     k = pl.program_id(0)
-    j = pl.program_id(1)
-    y0 = j * yb
-    dt = dt_ref[0]
-    P = ppc
-    px = px_ref[:, 0]
-    py = py_ref[:, 0]
-    pz = pz_ref[:, 0]
-    live = val_ref[:, 0] > 0.5
+    nold = 3 if with_blend else 0
+    nobs = 0 if ring_only else 3
+    velz = refs[:5]
+    oldz = refs[5:5 + nold]
+    obsz = refs[5 + nold:5 + nold + nobs]
+    n_in = 7 if with_blend else 4
+    slabs = refs[5 + nold + nobs:5 + nold + nobs + n_in]
+    outs = refs[5 + nold + nobs + n_in:]
 
-    @pl.when(occ_ref[k, j] == 0)
-    def _skip():  # no particles in this tile: positions pass through
-        ox_ref[:, 0] = px
-        oy_ref[:, 0] = py
-        oz_ref[:, 0] = pz
+    for j in range(sy // yb):        # python loop: y0/static slices per block
+        y0 = j * yb
+        px = slabs[0][:, 0, y0:y0 + yb, :]
+        py = slabs[1][:, 0, y0:y0 + yb, :]
+        pz = slabs[2][:, 0, y0:y0 + yb, :]
+        val = slabs[3][:, 0, y0:y0 + yb, :]
+        pv = tuple(slabs[4 + c][:, 0, y0:y0 + yb, :] for c in range(3)) \
+            if with_blend else ()
 
-    @pl.when(occ_ref[k, j] > 0)
-    def _compute():
-        _advect_tile(dt, velp_ref, obsp_ref, px, py, pz, live, ox_ref,
-                     oy_ref, oz_ref, k=k, y0=y0, shape=shape, ppc=ppc,
-                     yb=yb, integration_mode=integration_mode,
-                     stop_in_obstacle=stop_in_obstacle, ring_only=ring_only)
+        @pl.when(occ_ref[k, j] == 0)
+        def _skip(px=px, py=py, pz=pz, pv=pv, y0=y0):
+            outs[0][:, 0, y0:y0 + yb, :] = px
+            outs[1][:, 0, y0:y0 + yb, :] = py
+            outs[2][:, 0, y0:y0 + yb, :] = pz
+            for c in range(3 if with_blend else 0):
+                outs[3 + c][:, 0, y0:y0 + yb, :] = pv[c]
+
+        @pl.when(occ_ref[k, j] > 0)
+        def _compute(px=px, py=py, pz=pz, val=val, pv=pv, y0=y0):
+            _advect_tile(sc_ref, velz, oldz, obsz, px, py, pz, val, pv,
+                         outs, k=k, y0=y0, shape=shape, ppc=ppc, yb=yb,
+                         integration_mode=integration_mode,
+                         stop_in_obstacle=stop_in_obstacle,
+                         ring_only=ring_only, with_blend=with_blend,
+                         flip_ratio=flip_ratio)
 
 
-def _advect_tile(dt, velp_ref, obsp_ref, px, py, pz, live, ox_ref, oy_ref,
-                 oz_ref, *, k, y0, shape, ppc, yb, integration_mode,
-                 stop_in_obstacle, ring_only):
+def _advect_tile(sc_ref, velz, oldz, obsz, px, py, pz, val, pv, outs, *, k,
+                 y0, shape, ppc, yb, integration_mode, stop_in_obstacle,
+                 ring_only, with_blend, flip_ratio):
     sz, sy, sx = shape
     P = ppc
+    dt = sc_ref[0]
+    live = val > 0.5
     cxi = jax.lax.broadcasted_iota(jnp.int32, (P, yb, sx), 2)
     cyi = jax.lax.broadcasted_iota(jnp.int32, (P, yb, sx), 1) + y0
 
+    def vel_plane(g, c, dz, dy, dx):
+        """grid g (0: vel [dz -2..2], 1: vel_old [dz -1..1]) component c at
+        z-plane k+dz, y rows [y0+dy, y0+dy+yb), x shifted by dx — all
+        STATIC slices of the padded plane blocks."""
+        ref = velz[dz + 2] if g == 0 else oldz[dz + 1]
+        return ref[c, 0, y0 + _PAD + dy:y0 + _PAD + dy + yb,
+                   _PAD + dx:_PAD + dx + sx]
+
     def obs_plane(dz, dy, dx):
-        return obsp_ref[k + _PAD + dz,
-                        pl.ds(y0 + _PAD + dy, yb),
-                        _PAD + dx:_PAD + dx + sx]
+        return obsz[dz + 1][0, y0 + _PAD + dy:y0 + _PAD + dy + yb,
+                            _PAD + dx:_PAD + dx + sx]
 
     def obstacle_at(qx, qy, qz, taps):
         if ring_only:
@@ -114,9 +151,11 @@ def _advect_tile(dt, velp_ref, obsp_ref, px, py, pz, live, ox_ref, oy_ref,
         return ((qx >= 1.0) & (qx < sx - 1.0) & (qy >= 1.0)
                 & (qy < sy - 1.0) & (qz >= 1.0) & (qz < sz - 1.0))
 
-    def eval_u(qx, qy, qz, drift):
-        own, cross, obs_taps = _TAPS[drift]
-        comps = []
+    def eval_raw(qx, qy, qz, drift, grids):
+        """Raw MAC interpolation of one or more grids with shared weights;
+        returns [(u,v,w)] per grid."""
+        own, cross, _ = _TAPS[drift]
+        accs = [[] for _ in grids]
         for c in range(3):
             mx, my, mz = _MAC_SHIFTS[c]
             bx, wx1 = _axw(qx - mx, sx)
@@ -128,16 +167,22 @@ def _advect_tile(dt, velp_ref, obsp_ref, px, py, pz, live, ox_ref, oy_ref,
             wx = _tapw(bx - cxi, wx1, tx)
             wy = _tapw(by - cyi, wy1, ty)
             wz = _tapw(bz - k, wz1, tz)
-            acc = jnp.zeros((P, yb, sx), jnp.float32)
+            a = [jnp.zeros((P, yb, sx), jnp.float32) for _ in grids]
             for iz, dz in enumerate(tz):
                 for iy, dy in enumerate(ty):
                     wzy = wz[iz] * wy[iy]
                     for ix, dx in enumerate(tx):
-                        g = velp_ref[c, k + _PAD + dz,
-                                     pl.ds(y0 + _PAD + dy, yb),
-                                     _PAD + dx:_PAD + dx + sx]
-                        acc = acc + (wzy * wx[ix]) * g[None]
-            comps.append(acc)
+                        w = wzy * wx[ix]
+                        for gi, g in enumerate(grids):
+                            a[gi] = a[gi] + w * vel_plane(g, c, dz, dy,
+                                                          dx)[None]
+            for gi in range(len(grids)):
+                accs[gi].append(a[gi])
+        return [tuple(acc) for acc in accs]
+
+    def to_step(comps, qx, qy, qz, drift):
+        """dt-scale + clamp + obstacle stage-zeroing of a raw evaluation."""
+        _, _, obs_taps = _TAPS[drift]
         u = jnp.clip(comps[0] * dt, -1.0, 1.0)
         v = jnp.clip(comps[1] * dt, -1.0, 1.0)
         w = jnp.clip(comps[2] * dt, -1.0, 1.0)
@@ -149,7 +194,25 @@ def _advect_tile(dt, velp_ref, obsp_ref, px, py, pz, live, ox_ref, oy_ref,
             w = jnp.where(bad, 0.0, w)
         return u, v, w
 
-    u0 = eval_u(px, py, pz, 0.0)
+    def eval_u(qx, qy, qz, drift):
+        (comps,) = eval_raw(qx, qy, qz, drift, (0,))
+        return to_step(comps, qx, qy, qz, drift)
+
+    # stage 1 (drift 0) — fused with the FLIP blend when requested: the
+    # blend evaluates vel/vel_old at exactly these positions with exactly
+    # this tap set (own {0,1} == _T0_OWN, cross {-1,0,1} == _T0_CROSS)
+    if with_blend:
+        (vnew, vold) = eval_raw(px, py, pz, 0.0, (0, 1))
+        pending = sc_ref[1] > 0.5
+        for c in range(3):
+            blended = (flip_ratio * (pv[c] + (vnew[c] - vold[c]))
+                       + (1.0 - flip_ratio) * vnew[c])
+            outs[3 + c][:, 0, y0:y0 + yb, :] = jnp.where(
+                live & pending, blended, pv[c])
+        u0 = to_step(vnew, px, py, pz, 0.0)
+    else:
+        u0 = eval_u(px, py, pz, 0.0)
+
     if integration_mode == 0:
         du, dv, dw = u0
     elif integration_mode == 1:
@@ -186,9 +249,9 @@ def _advect_tile(dt, velp_ref, obsp_ref, px, py, pz, live, ox_ref, oy_ref,
         ny = jnp.where(in_obs, py * (1.0 - s) + ny * s, ny)
         nz = jnp.where(in_obs, pz * (1.0 - s) + nz * s, nz)
 
-    ox_ref[:, 0] = jnp.where(live, nx, px)
-    oy_ref[:, 0] = jnp.where(live, ny, py)
-    oz_ref[:, 0] = jnp.where(live, nz, pz)
+    outs[0][:, 0, y0:y0 + yb, :] = jnp.where(live, nx, px)
+    outs[1][:, 0, y0:y0 + yb, :] = jnp.where(live, ny, py)
+    outs[2][:, 0, y0:y0 + yb, :] = jnp.where(live, nz, pz)
 
 
 def _shift(a, k: int, axis: int):
@@ -368,55 +431,119 @@ def rebin_pallas(bk, dom: Domain, interpret: bool = False):
     return bk
 
 
+def _pick_yb(sy: int) -> int:
+    """y-block size for the in-kernel occupancy loop: ~8 blocks per plane
+    (matches round 3's skip granularity at 64^3 without blowing up the
+    unrolled kernel size at larger grids)."""
+    yb = max(8, sy // 8)
+    return yb if sy % yb == 0 else sy
+
+
+def _advect_call(bk, flags, vel, dt, dom: Domain, integration_mode,
+                 stop_in_obstacle, ring_only, interpret,
+                 vel_old=None, pending=None, flip_ratio: float = 0.0):
+    """Shared driver for advect_pallas / advect_blend_pallas."""
+    import dataclasses
+
+    sz, sy, sx = dom.shape
+    P, T = bk.ppc, bk.ncells
+    with_blend = vel_old is not None
+    pad = [(0, 0), (_PAD, _PAD), (_PAD, _PAD), (_PAD, _PAD)]
+    velp = jnp.pad(vel, pad)
+
+    def zplane(dz, nc=3):
+        # overlapping z-plane windows via the block index: plane k+dz of
+        # the padded field lives at padded plane index k + _PAD + dz
+        return pl.BlockSpec((nc, 1, sy + 2 * _PAD, sx + 2 * _PAD),
+                            lambda k, dz=dz: (0, k + _PAD + dz, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def zplane3(dz):
+        return pl.BlockSpec((1, sy + 2 * _PAD, sx + 2 * _PAD),
+                            lambda k, dz=dz: (k + _PAD + dz, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    pend = (jnp.full((1,), 1.0, jnp.float32) if pending is None
+            else jnp.asarray(pending, jnp.float32).reshape(1))
+    ins = [jnp.concatenate([jnp.full((1,), dt, jnp.float32), pend])]
+    specs = [pl.BlockSpec(memory_space=pltpu.SMEM),     # (dt, pending)
+             pl.BlockSpec(memory_space=pltpu.SMEM)]     # occupancy
+    yb = _pick_yb(sy)
+    ins.append(tile_occupancy(bk.valid, dom, yb))
+    for dz in range(-2, 3):
+        ins.append(velp)
+        specs.append(zplane(dz))
+    if with_blend:
+        oldp = jnp.pad(vel_old, pad)
+        for dz in range(-1, 2):
+            ins.append(oldp)
+            specs.append(zplane(dz))
+    if not ring_only:
+        obsp = jnp.pad(((flags & fl.TypeObstacle) != 0).astype(jnp.float32),
+                       pad[1:])
+        for dz in range(-1, 2):
+            ins.append(obsp)
+            specs.append(zplane3(dz))
+
+    def resh(a):
+        return a.reshape(P, sz, sy, sx)
+
+    slab = pl.BlockSpec((P, 1, sy, sx), lambda k: (0, k, 0, 0),
+                        memory_space=pltpu.VMEM)
+    ins += [resh(bk.px), resh(bk.py), resh(bk.pz),
+            resh(bk.valid.astype(jnp.float32))]
+    specs += [slab] * 4
+    if with_blend:
+        ins += [resh(bk.vx), resh(bk.vy), resh(bk.vz)]
+        specs += [slab] * 3
+    n_out = 6 if with_blend else 3
+
+    kern = functools.partial(_advect_kernel, shape=dom.shape, ppc=P, yb=yb,
+                             integration_mode=integration_mode,
+                             stop_in_obstacle=stop_in_obstacle,
+                             ring_only=ring_only, with_blend=with_blend,
+                             flip_ratio=float(flip_ratio))
+    out = pl.pallas_call(
+        kern,
+        grid=(sz,),
+        in_specs=specs,
+        out_specs=tuple([slab] * n_out),
+        out_shape=tuple(jax.ShapeDtypeStruct((P, sz, sy, sx), jnp.float32)
+                        for _ in range(n_out)),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*ins)
+    nx, ny, nz = (o.reshape(P, T) for o in out[:3])
+    if with_blend:
+        nvx, nvy, nvz = (o.reshape(P, T) for o in out[3:])
+        return dataclasses.replace(bk, px=nx, py=ny, pz=nz, vx=nvx, vy=nvy,
+                                   vz=nvz)
+    return dataclasses.replace(bk, px=nx, py=ny, pz=nz)
+
+
 def advect_pallas(bk, flags, vel, dt, dom: Domain, integration_mode: int = 2,
                   stop_in_obstacle: bool = True, ring_only: bool = False,
                   interpret: bool = False):
     """Pallas advection over the bucket layout; drop-in for the positions
     part of flip_bucket.advect_bucketed."""
-    import dataclasses
+    return _advect_call(bk, flags, vel, dt, dom, integration_mode,
+                        stop_in_obstacle, ring_only, interpret)
 
-    sz, sy, sx = dom.shape
-    P, T = bk.ppc, bk.ncells
-    pad = [(0, 0), (_PAD, _PAD), (_PAD, _PAD), (_PAD, _PAD)]
-    velp = jnp.pad(vel, pad)
-    if ring_only:
-        obsp = jnp.zeros((8, 8, 128), jnp.float32)  # unread placeholder
-    else:
-        obsp = jnp.pad(((flags & fl.TypeObstacle) != 0).astype(jnp.float32),
-                       pad[1:])
-    dt_arr = jnp.full((1,), dt, jnp.float32)
 
-    def resh(a):
-        return a.reshape(P, sz, sy, sx)
-
-    yb = 8 if sy % 8 == 0 else sy
-    occ = tile_occupancy(bk.valid, dom, yb)
-    kern = functools.partial(_advect_kernel, shape=dom.shape, ppc=P, yb=yb,
-                             integration_mode=integration_mode,
-                             stop_in_obstacle=stop_in_obstacle,
-                             ring_only=ring_only)
-    slab = pl.BlockSpec((P, 1, yb, sx), lambda k, j: (0, k, j, 0),
-                        memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        kern,
-        grid=(sz, sy // yb),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # dt
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # tile occupancy
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # velp (full)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # obsp (full)
-            slab, slab, slab, slab,
-        ],
-        out_specs=(slab, slab, slab),
-        out_shape=tuple(jax.ShapeDtypeStruct((P, sz, sy, sx), jnp.float32)
-                        for _ in range(3)),
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(dt_arr, occ, velp, obsp, resh(bk.px), resh(bk.py), resh(bk.pz),
-      resh(bk.valid.astype(jnp.float32)))
-    nx, ny, nz = (o.reshape(P, T) for o in out)
-    return dataclasses.replace(bk, px=nx, py=ny, pz=nz)
+def advect_blend_pallas(bk, flags, vel, vel_old, dt, pending, flip_ratio,
+                        dom: Domain, integration_mode: int = 2,
+                        stop_in_obstacle: bool = True,
+                        ring_only: bool = False, interpret: bool = False):
+    """Fused flipVelocityUpdate + advection: applies the FLIP blend of
+    (vel, vel_old) at the pre-advection (drift-0) positions when
+    ``pending`` is true, then advects — one kernel, shared stage-1 taps
+    (see module docstring). Equals flip_update_bucketed followed by
+    advect_bucketed."""
+    return _advect_call(bk, flags, vel, dt, dom, integration_mode,
+                        stop_in_obstacle, ring_only, interpret,
+                        vel_old=vel_old, pending=pending,
+                        flip_ratio=flip_ratio)
 
 
 # ---------------------------------------------------------------------------

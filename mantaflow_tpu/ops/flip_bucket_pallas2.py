@@ -2,24 +2,30 @@
 FLIP blend).
 
 The XLA forms in ops/flip_bucket.py materialize a (PPC, T) intermediate per
-window tap in HBM (p2g: 54 taps, levelset: 27 offsets) — memory-bound. Here
-each kernel walks the bucket array one z-slab per grid step with everything
-hot in VMEM:
+window tap in HBM (p2g: 54 taps, levelset: 27 offsets) — memory-bound.
 
-- p2g / union levelset are SOURCE-centric: the full (3,Z,Y,X) accumulator
-  (vel sums + weights, or phi^2 mins) lives in a VMEM output revisited by
-  every grid step ("arbitrary" dimension semantics make writes persist), and
-  each particle slab scatters its tap contributions into the z in
-  [k-1, k+1] output rows through static dynamic-slices;
-- the FLIP blend is GATHER-style like the advection kernel: both MAC grids
-  sit fully in VMEM (padded, so taps are static in-bounds slices) and each
-  particle slab evaluates v_new/v_old at its own positions.
+Round-4 redesign, resolution-independent (the round-3 kernels kept the full
+(3,Z,Y,X) accumulator grids VMEM-resident, capping them at ~96^3):
+
+- p2g / union levelset are SOURCE-centric STREAMING scatters: grid step t
+  processes the source bucket plane t and accumulates its tap contributions
+  (z in [t-rw, t+rw]) into a ring buffer of 2*rw+1 VMEM plane accumulators;
+  plane t-rw is complete at step t and emitted through a revisit-free
+  output BlockSpec. Ring slots are recycled: the slot for plane t+rw is
+  zeroed at the top of step t (it held plane t-rw-1, emitted at t-1);
+  contributions to out-of-domain planes land in slots that are re-zeroed
+  before their next legitimate use and are never emitted.
+- the FLIP blend stays GATHER-style but reads the two MAC grids through
+  overlapping z-plane BlockSpecs (dz = -1..1) with static in-plane slices,
+  like the advection kernel (see flip_bucket_pallas module docstring).
+  The production step fuses the blend into advection instead
+  (advect_blend_pallas); this standalone kernel serves finalize_buckets
+  and the per-op tests.
 
 Semantics are identical to flip_bucket.p2g_mac / union_levelset_bucketed /
 flip_update_bucketed (mapPartsToMAC flip.cpp:637-662, unionParticleLevelset
 flip.cpp:300-363, flipVelocityUpdate flip.cpp:727-744); only float
-accumulation order differs. Scope: 3D, output grid resident in VMEM (fine
-through ~96^3 f32; larger grids would tile y as well).
+accumulation order differs.
 """
 
 from __future__ import annotations
@@ -37,117 +43,114 @@ from ..core.domain import Domain
 # shared BUILD_INDEX / tap-table helpers (see flip_bucket_pallas note)
 from .flip_bucket import _BIG, _MAC_SHIFTS, _T0_CROSS, _T0_OWN, _axw
 from .flip_bucket import _tap_weights as _tapw
-from .flip_bucket_pallas import _PAD
+from .flip_bucket_pallas import _PAD, _pick_yb, tile_occupancy
+
+
+def _place(rows, y0, dy, sy):
+    """Destination (dst_lo, src_lo, n) for scattering a (yb, sx) source
+    block at rows [y0, y0+yb) shifted by dy, clipped to [0, sy)."""
+    yb = rows
+    dst_lo = max(0, y0 + dy)
+    src_lo = max(0, -(y0 + dy))
+    n = yb - src_lo - max(0, y0 + dy + yb - sy)
+    return dst_lo, src_lo, n
+
+
+def _shiftx(a, dx: int, fill=0.0):
+    """Shift (..., sx) by +dx along x, filling vacated lanes."""
+    if dx == 0:
+        return a
+    sx = a.shape[-1]
+    f = jnp.full_like(a, fill)
+    if dx > 0:
+        return jnp.concatenate([f[..., :dx], a[..., :sx - dx]], axis=-1)
+    return jnp.concatenate([a[..., -dx:], f[..., :(-dx)]], axis=-1)
 
 
 # ---------------------------------------------------------------------------
-# p2g: mapPartsToMAC accumulation
+# p2g: mapPartsToMAC accumulation (streaming scatter over z)
 
 
 def _p2g_kernel(occ_ref, px_ref, py_ref, pz_ref, vx_ref, vy_ref, vz_ref,
-                val_ref, acc_ref, wacc_ref, *, shape, ppc, yb):
-    """One (z-slab, y-block) tile of source buckets accumulates into the
-    full-grid VMEM accumulators. Output rows touched: z + dz, y0 + dy for
-    dz/dy in -1..1 (drift-0 positions: own-axis taps {0,1}, cross-axis
-    {-1,0,1}); tiles with no valid particles are skipped entirely."""
+                val_ref, oacc_ref, owacc_ref, acc_ref, wacc_ref, *,
+                shape, ppc, yb):
+    """Scratch slots have FIXED roles — row (s*3+c) of the (9, sy, sx)
+    scratch is plane t-1+s, component c — and the ring advances by a
+    static end-of-step rotation (slot0 <- slot1 <- slot2 <- 0). Keeping
+    every scratch index STATIC matters: Mosaic lowers a dynamic slot index
+    combined with a partial row slice through a gather path it cannot
+    compile (observed at all grid sizes)."""
     sz, sy, sx = shape
-    k = pl.program_id(0)
-    j = pl.program_id(1)
-    y0 = j * yb
-    jmax = sy // yb - 1
     P = ppc
+    t = pl.program_id(0)
 
-    px = px_ref[:, 0]
-    py = py_ref[:, 0]
-    pz = pz_ref[:, 0]
-    af = val_ref[:, 0]
-
-    @pl.when((k == 0) & (j == 0))
-    def _init():
+    @pl.when(t == 0)
+    def _init_all():
         acc_ref[...] = jnp.zeros_like(acc_ref)
         wacc_ref[...] = jnp.zeros_like(wacc_ref)
 
-    @pl.when(occ_ref[k, j] > 0)
-    def _compute():
-        cxi = jax.lax.broadcasted_iota(jnp.int32, (P, yb, sx), 2)
-        cyi = jax.lax.broadcasted_iota(jnp.int32, (P, yb, sx), 1) + y0
+    for j in range(sy // yb):
+        y0 = j * yb
 
-        pvel = (vx_ref[:, 0], vy_ref[:, 0], vz_ref[:, 0])
-        for c in range(3):
-            ox, oy, oz = _MAC_SHIFTS[c]
-            bx, wx1 = _axw(px - ox, sx)
-            by, wy1 = _axw(py - oy, sy)
-            bz, wz1 = _axw(pz - oz, sz)
-            tx = _T0_OWN if c == 0 else _T0_CROSS
-            ty = _T0_OWN if c == 1 else _T0_CROSS
-            tz = _T0_OWN if c == 2 else _T0_CROSS
-            wx = _tapw(bx - cxi, wx1, tx)
-            wy = _tapw(by - cyi, wy1, ty)
-            wz = _tapw(bz - k, wz1, tz)
-            vc = pvel[c]
-            for iz, dz in enumerate(tz):
-                zt = k + dz
-                zok = (zt >= 0) & (zt < sz)
-                zt_c = jnp.clip(zt, 0, sz - 1)
-                for iy, dy in enumerate(ty):
-                    # per-destination-row partials reduced over buckets
-                    acc_rows = jnp.zeros((yb, sx), jnp.float32)
-                    w_rows = jnp.zeros((yb, sx), jnp.float32)
-                    wzy = wz[iz] * wy[iy] * af
-                    for ix, dx in enumerate(tx):
-                        w = wzy * wx[ix]
-                        # shift the x contribution by dx into the
-                        # destination frame (pad-free static slices)
-                        w_rows = w_rows + _shift2(jnp.sum(w, axis=0), 0, dx)
-                        acc_rows = acc_rows + _shift2(
-                            jnp.sum(w * vc, axis=0), 0, dx)
-                    # y destination window [y0+dy, y0+dy+yb) clamped into
-                    # the grid; the clamp only engages at the edge tiles,
-                    # where the shifted-out source row is the empty
-                    # boundary ring (zero contribution)
-                    if dy < 0:
-                        sh = _shift2(acc_rows, -1, 0)
-                        shw = _shift2(w_rows, -1, 0)
-                        acc_rows = jnp.where(j == 0, sh, acc_rows)
-                        w_rows = jnp.where(j == 0, shw, w_rows)
-                        yt = jnp.maximum(y0 + dy, 0)
-                    elif dy > 0:
-                        sh = _shift2(acc_rows, 1, 0)
-                        shw = _shift2(w_rows, 1, 0)
-                        acc_rows = jnp.where(j == jmax, sh, acc_rows)
-                        w_rows = jnp.where(j == jmax, shw, w_rows)
-                        yt = jnp.minimum(y0 + dy, sy - yb)
-                    else:
-                        yt = y0
+        @pl.when(occ_ref[t, j] > 0)   # padded row sz is 0: no work at t==sz
+        def _accum(y0=y0):
+            px = px_ref[:, 0, y0:y0 + yb, :]
+            py = py_ref[:, 0, y0:y0 + yb, :]
+            pz = pz_ref[:, 0, y0:y0 + yb, :]
+            af = val_ref[:, 0, y0:y0 + yb, :]
+            pvel = (vx_ref[:, 0, y0:y0 + yb, :],
+                    vy_ref[:, 0, y0:y0 + yb, :],
+                    vz_ref[:, 0, y0:y0 + yb, :])
+            cxi = jax.lax.broadcasted_iota(jnp.int32, (P, yb, sx), 2)
+            cyi = jax.lax.broadcasted_iota(jnp.int32, (P, yb, sx), 1) + y0
+            for c in range(3):
+                ox, oy, oz = _MAC_SHIFTS[c]
+                bx, wx1 = _axw(px - ox, sx)
+                by, wy1 = _axw(py - oy, sy)
+                bz, wz1 = _axw(pz - oz, sz)
+                tx = _T0_OWN if c == 0 else _T0_CROSS
+                ty = _T0_OWN if c == 1 else _T0_CROSS
+                tz = _T0_OWN if c == 2 else _T0_CROSS
+                wx = _tapw(bx - cxi, wx1, tx)
+                wy = _tapw(by - cyi, wy1, ty)
+                wz = _tapw(bz - t, wz1, tz)
+                vc = pvel[c]
+                for iz, dz in enumerate(tz):
+                    sl = dz + 1          # slot role: plane t+dz (STATIC)
+                    for iy, dy in enumerate(ty):
+                        w_rows = jnp.zeros((yb, sx), jnp.float32)
+                        a_rows = jnp.zeros((yb, sx), jnp.float32)
+                        wzy = wz[iz] * wy[iy] * af
+                        for ix, dx in enumerate(tx):
+                            w = wzy * wx[ix]
+                            w_rows = w_rows + _shiftx(jnp.sum(w, axis=0), dx)
+                            a_rows = a_rows + _shiftx(
+                                jnp.sum(w * vc, axis=0), dx)
+                        dst, src, n = _place(yb, y0, dy, sy)
+                        if n <= 0:
+                            continue
+                        r = sl * 3 + c
+                        cur = acc_ref[r, dst:dst + n]
+                        acc_ref[r, dst:dst + n] = \
+                            cur + a_rows[src:src + n]
+                        curw = wacc_ref[r, dst:dst + n]
+                        wacc_ref[r, dst:dst + n] = \
+                            curw + w_rows[src:src + n]
 
-                    @pl.when(zok)
-                    def _add(c=c, zt_c=zt_c, yt=yt, acc_rows=acc_rows,
-                             w_rows=w_rows):
-                        cur = acc_ref[c, zt_c, pl.ds(yt, yb)]
-                        acc_ref[c, zt_c, pl.ds(yt, yb)] = cur + acc_rows
-                        curw = wacc_ref[c, zt_c, pl.ds(yt, yb)]
-                        wacc_ref[c, zt_c, pl.ds(yt, yb)] = curw + w_rows
+    @pl.when(t >= 1)
+    def _emit():  # plane t-1 (slot 0) is complete
+        oacc_ref[...] = acc_ref[0:3][:, None]
+        owacc_ref[...] = wacc_ref[0:3][:, None]
 
-
-def _shift2(a, dy: int, dx: int, fill=0.0):
-    """Shift a (sy, sx) slab by (+dy, +dx), filling vacated rows/cols with
-    `fill` (0 for sums, _BIG for mins): destination-frame placement of a
-    source contribution without wraparound."""
-    sy, sx = a.shape
-    out = a
-    if dx:
-        f = jnp.full_like(out, fill)
-        if dx > 0:
-            out = jnp.concatenate([f[:, :dx], out[:, :sx - dx]], axis=1)
-        else:
-            out = jnp.concatenate([out[:, -dx:], f[:, :(-dx)]], axis=1)
-    if dy:
-        f = jnp.full_like(out, fill)
-        if dy > 0:
-            out = jnp.concatenate([f[:dy], out[:sy - dy]], axis=0)
-        else:
-            out = jnp.concatenate([out[-dy:], f[:(-dy)]], axis=0)
-    return out
+    # rotate the ring: slot s takes slot s+1's plane; the incoming far
+    # slot starts empty
+    for r in range(6):
+        acc_ref[r] = acc_ref[r + 3]
+        wacc_ref[r] = wacc_ref[r + 3]
+    z = jnp.zeros((sy, sx), jnp.float32)
+    for r in range(6, 9):
+        acc_ref[r] = z
+        wacc_ref[r] = z
 
 
 def p2g_mac_pallas(bk, dom: Domain, interpret: bool = False):
@@ -158,21 +161,24 @@ def p2g_mac_pallas(bk, dom: Domain, interpret: bool = False):
     def resh(a):
         return a.reshape(P, sz, sy, sx)
 
-    from .flip_bucket_pallas import tile_occupancy
-    yb = 8 if sy % 8 == 0 else sy
-    occ = tile_occupancy(bk.valid, dom, yb)
-    slab = pl.BlockSpec((P, 1, yb, sx), lambda k, j: (0, k, j, 0),
+    yb = _pick_yb(sy)
+    occ = jnp.pad(tile_occupancy(bk.valid, dom, yb), ((0, 1), (0, 0)))
+    slab = pl.BlockSpec((P, 1, sy, sx),
+                        lambda t: (0, jnp.minimum(t, sz - 1), 0, 0),
                         memory_space=pltpu.VMEM)
-    full = pl.BlockSpec((3, sz, sy, sx), lambda k, j: (0, 0, 0, 0),
+    outp = pl.BlockSpec((3, 1, sy, sx),
+                        lambda t: (0, jnp.maximum(t - 1, 0), 0, 0),
                         memory_space=pltpu.VMEM)
     kern = functools.partial(_p2g_kernel, shape=dom.shape, ppc=P, yb=yb)
     acc, wacc = pl.pallas_call(
         kern,
-        grid=(sz, sy // yb),
+        grid=(sz + 1,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [slab] * 7,
-        out_specs=(full, full),
+        out_specs=(outp, outp),
         out_shape=(jax.ShapeDtypeStruct((3, sz, sy, sx), jnp.float32),
                    jax.ShapeDtypeStruct((3, sz, sy, sx), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((9, sy, sx), jnp.float32),
+                        pltpu.VMEM((9, sy, sx), jnp.float32)],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -184,65 +190,63 @@ def p2g_mac_pallas(bk, dom: Domain, interpret: bool = False):
 
 
 # ---------------------------------------------------------------------------
-# union particle levelset
+# union particle levelset (streaming min-scatter over z)
 
 
-def _ls_kernel(occ_ref, px_ref, py_ref, pz_ref, val_ref, d2_ref, *, shape,
-               ppc, rw, yb):
+def _ls_kernel(occ_ref, px_ref, py_ref, pz_ref, val_ref, od2_ref, d2_ref, *,
+               shape, ppc, rw, yb):
     sz, sy, sx = shape
-    k = pl.program_id(0)
-    j = pl.program_id(1)
-    y0 = j * yb
-    jmax = sy // yb - 1
     P = ppc
+    n = 2 * rw + 1
+    t = pl.program_id(0)
+    big = jnp.float32(_BIG)
 
-    @pl.when((k == 0) & (j == 0))
-    def _init():
+    # fixed slot roles (see _p2g_kernel): scratch row s = plane t-rw+s;
+    # end-of-step rotation keeps every scratch index STATIC
+    @pl.when(t == 0)
+    def _init_all():
         d2_ref[...] = jnp.full_like(d2_ref, _BIG)
 
-    @pl.when(occ_ref[k, j] > 0)
-    def _compute():
-        cxi = jax.lax.broadcasted_iota(jnp.int32, (P, yb, sx), 2)
-        cyi = jax.lax.broadcasted_iota(jnp.int32, (P, yb, sx), 1) + y0
-        valid = val_ref[:, 0] > 0.5
-        ex = jnp.where(valid,
-                       px_ref[:, 0] - (cxi.astype(jnp.float32) + 0.5), 0.0)
-        ey = jnp.where(valid,
-                       py_ref[:, 0] - (cyi.astype(jnp.float32) + 0.5), 0.0)
-        ez = jnp.where(valid, pz_ref[:, 0] - (k + 0.5), 0.0)
-        r2 = ex * ex + ey * ey + ez * ez
-        big = jnp.float32(_BIG)
+    for j in range(sy // yb):
+        y0 = j * yb
 
-        taps = range(-rw, rw + 1)
-        for dz in taps:
-            zt = k + dz
-            zok = (zt >= 0) & (zt < sz)
-            zt_c = jnp.clip(zt, 0, sz - 1)
-            for dy in taps:
-                rows = None
-                for dx in taps:
-                    c2 = float(dx * dx + dy * dy + dz * dz)
-                    d2 = r2 - 2.0 * (ex * dx + ey * dy + ez * dz) + c2
-                    part = jnp.min(jnp.where(valid, d2, big), axis=0)
-                    sh = _shift2(part, 0, dx, fill=big)
-                    rows = sh if rows is None else jnp.minimum(rows, sh)
-                # y destination window (see _p2g_kernel): edge tiles shift
-                # the off-grid rows out, filled with BIG (no contribution)
-                if dy < 0:
-                    sh = _shift2(rows, dy, 0, fill=big)
-                    rows = jnp.where(j == 0, sh, rows)
-                    yt = jnp.maximum(y0 + dy, 0)
-                elif dy > 0:
-                    sh = _shift2(rows, dy, 0, fill=big)
-                    rows = jnp.where(j == jmax, sh, rows)
-                    yt = jnp.minimum(y0 + dy, sy - yb)
-                else:
-                    yt = y0
+        @pl.when(occ_ref[t, j] > 0)  # padded rows >= sz are 0: no tail work
+        def _accum(y0=y0):
+            valid = val_ref[:, 0, y0:y0 + yb, :] > 0.5
+            cxi = jax.lax.broadcasted_iota(jnp.int32, (P, yb, sx), 2)
+            cyi = jax.lax.broadcasted_iota(jnp.int32, (P, yb, sx), 1) + y0
+            ex = jnp.where(valid, px_ref[:, 0, y0:y0 + yb, :]
+                           - (cxi.astype(jnp.float32) + 0.5), 0.0)
+            ey = jnp.where(valid, py_ref[:, 0, y0:y0 + yb, :]
+                           - (cyi.astype(jnp.float32) + 0.5), 0.0)
+            ez = jnp.where(valid, pz_ref[:, 0, y0:y0 + yb, :]
+                           - (t + 0.5), 0.0)
+            r2 = ex * ex + ey * ey + ez * ez
+            taps = range(-rw, rw + 1)
+            for dz in taps:
+                sl = dz + rw             # slot role: plane t+dz (STATIC)
+                for dy in taps:
+                    rows = None
+                    for dx in taps:
+                        c2 = float(dx * dx + dy * dy + dz * dz)
+                        d2 = r2 - 2.0 * (ex * dx + ey * dy + ez * dz) + c2
+                        part = jnp.min(jnp.where(valid, d2, big), axis=0)
+                        sh = _shiftx(part, dx, fill=big)
+                        rows = sh if rows is None else jnp.minimum(rows, sh)
+                    dst, src, cnt = _place(yb, y0, dy, sy)
+                    if cnt <= 0:
+                        continue
+                    cur = d2_ref[sl, dst:dst + cnt]
+                    d2_ref[sl, dst:dst + cnt] = jnp.minimum(
+                        cur, rows[src:src + cnt])
 
-                @pl.when(zok)
-                def _minin(zt_c=zt_c, yt=yt, rows=rows):
-                    cur = d2_ref[zt_c, pl.ds(yt, yb)]
-                    d2_ref[zt_c, pl.ds(yt, yb)] = jnp.minimum(cur, rows)
+    @pl.when(t >= rw)
+    def _emit():  # plane t-rw (slot 0) is complete
+        od2_ref[0] = d2_ref[0]
+
+    for s in range(n - 1):   # rotate: slot s <- slot s+1, far slot resets
+        d2_ref[s] = d2_ref[s + 1]
+    d2_ref[n - 1] = jnp.full((sy, sx), _BIG, jnp.float32)
 
 
 def union_levelset_pallas(bk, dom: Domain, radius_factor: float = 1.0,
@@ -258,21 +262,23 @@ def union_levelset_pallas(bk, dom: Domain, radius_factor: float = 1.0,
     def resh(a):
         return a.reshape(P, sz, sy, sx)
 
-    from .flip_bucket_pallas import tile_occupancy
-    yb = 8 if sy % 8 == 0 else sy
-    occ = tile_occupancy(bk.valid, dom, yb)
-    slab = pl.BlockSpec((P, 1, yb, sx), lambda k, j: (0, k, j, 0),
+    yb = _pick_yb(sy)
+    occ = jnp.pad(tile_occupancy(bk.valid, dom, yb), ((0, rw), (0, 0)))
+    slab = pl.BlockSpec((P, 1, sy, sx),
+                        lambda t: (0, jnp.minimum(t, sz - 1), 0, 0),
                         memory_space=pltpu.VMEM)
-    full = pl.BlockSpec((sz, sy, sx), lambda k, j: (0, 0, 0),
+    outp = pl.BlockSpec((1, sy, sx),
+                        lambda t: (jnp.maximum(t - rw, 0), 0, 0),
                         memory_space=pltpu.VMEM)
     kern = functools.partial(_ls_kernel, shape=dom.shape, ppc=P, rw=rw,
                              yb=yb)
     d2min = pl.pallas_call(
         kern,
-        grid=(sz, sy // yb),
+        grid=(sz + rw,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [slab] * 4,
-        out_specs=full,
+        out_specs=outp,
         out_shape=jax.ShapeDtypeStruct((sz, sy, sx), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2 * rw + 1, sy, sx), jnp.float32)],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -285,64 +291,66 @@ def union_levelset_pallas(bk, dom: Domain, radius_factor: float = 1.0,
 
 
 # ---------------------------------------------------------------------------
-# FLIP blend (g2p at drift-0 positions)
+# FLIP blend (g2p at drift-0 positions) — standalone form; the production
+# step uses the fused advect_blend_pallas instead
 
 
-def _blend_kernel(ratio_ref, occ_ref, velp_ref, oldp_ref, px_ref, py_ref,
-                  pz_ref, vx_ref, vy_ref, vz_ref, val_ref, ox_ref, oy_ref,
-                  oz_ref, *, shape, ppc, yb):
+def _blend_kernel(ratio_ref, occ_ref, *refs, shape, ppc, yb):
     sz, sy, sx = shape
-    k = pl.program_id(0)
-    j = pl.program_id(1)
-    y0 = j * yb
     P = ppc
+    k = pl.program_id(0)
+    velz = refs[:3]          # vel z-planes dz=-1..1
+    oldz = refs[3:6]         # vel_old z-planes
+    slabs = refs[6:13]       # px py pz vx vy vz valid
+    outs = refs[13:]
     ratio = ratio_ref[0]
 
-    px = px_ref[:, 0]
-    py = py_ref[:, 0]
-    pz = pz_ref[:, 0]
-    live = val_ref[:, 0] > 0.5
-    pv = (vx_ref[:, 0], vy_ref[:, 0], vz_ref[:, 0])
-    outs = (ox_ref, oy_ref, oz_ref)
+    for j in range(sy // yb):
+        y0 = j * yb
+        pv = tuple(slabs[3 + c][:, 0, y0:y0 + yb, :] for c in range(3))
 
-    @pl.when(occ_ref[k, j] == 0)
-    def _skip():  # no particles here: particle velocities pass through
-        for c in range(3):
-            outs[c][:, 0] = pv[c]
+        @pl.when(occ_ref[k, j] == 0)
+        def _skip(pv=pv, y0=y0):
+            for c in range(3):
+                outs[c][:, 0, y0:y0 + yb, :] = pv[c]
 
-    @pl.when(occ_ref[k, j] > 0)
-    def _compute():
-        cxi = jax.lax.broadcasted_iota(jnp.int32, (P, yb, sx), 2)
-        cyi = jax.lax.broadcasted_iota(jnp.int32, (P, yb, sx), 1) + y0
-        for c in range(3):
-            ox_, oy_, oz_ = _MAC_SHIFTS[c]
-            bx, wx1 = _axw(px - ox_, sx)
-            by, wy1 = _axw(py - oy_, sy)
-            bz, wz1 = _axw(pz - oz_, sz)
-            tx = _T0_OWN if c == 0 else _T0_CROSS
-            ty = _T0_OWN if c == 1 else _T0_CROSS
-            tz = _T0_OWN if c == 2 else _T0_CROSS
-            wx = _tapw(bx - cxi, wx1, tx)
-            wy = _tapw(by - cyi, wy1, ty)
-            wz = _tapw(bz - k, wz1, tz)
-            new_acc = jnp.zeros((P, yb, sx), jnp.float32)
-            old_acc = jnp.zeros((P, yb, sx), jnp.float32)
-            for iz, dz in enumerate(tz):
-                for iy, dy in enumerate(ty):
-                    wzy = wz[iz] * wy[iy]
-                    for ix, dx in enumerate(tx):
-                        w = wzy * wx[ix]
-                        gn = velp_ref[c, k + _PAD + dz,
-                                      pl.ds(y0 + _PAD + dy, yb),
-                                      _PAD + dx:_PAD + dx + sx]
-                        go = oldp_ref[c, k + _PAD + dz,
-                                      pl.ds(y0 + _PAD + dy, yb),
-                                      _PAD + dx:_PAD + dx + sx]
-                        new_acc = new_acc + w * gn[None]
-                        old_acc = old_acc + w * go[None]
-            blended = (ratio * (pv[c] + (new_acc - old_acc))
-                       + (1.0 - ratio) * new_acc)
-            outs[c][:, 0] = jnp.where(live, blended, pv[c])
+        @pl.when(occ_ref[k, j] > 0)
+        def _compute(pv=pv, y0=y0):
+            px = slabs[0][:, 0, y0:y0 + yb, :]
+            py = slabs[1][:, 0, y0:y0 + yb, :]
+            pz = slabs[2][:, 0, y0:y0 + yb, :]
+            live = slabs[6][:, 0, y0:y0 + yb, :] > 0.5
+            cxi = jax.lax.broadcasted_iota(jnp.int32, (P, yb, sx), 2)
+            cyi = jax.lax.broadcasted_iota(jnp.int32, (P, yb, sx), 1) + y0
+            for c in range(3):
+                ox_, oy_, oz_ = _MAC_SHIFTS[c]
+                bx, wx1 = _axw(px - ox_, sx)
+                by, wy1 = _axw(py - oy_, sy)
+                bz, wz1 = _axw(pz - oz_, sz)
+                tx = _T0_OWN if c == 0 else _T0_CROSS
+                ty = _T0_OWN if c == 1 else _T0_CROSS
+                tz = _T0_OWN if c == 2 else _T0_CROSS
+                wx = _tapw(bx - cxi, wx1, tx)
+                wy = _tapw(by - cyi, wy1, ty)
+                wz = _tapw(bz - k, wz1, tz)
+                new_acc = jnp.zeros((P, yb, sx), jnp.float32)
+                old_acc = jnp.zeros((P, yb, sx), jnp.float32)
+                for iz, dz in enumerate(tz):
+                    for iy, dy in enumerate(ty):
+                        wzy = wz[iz] * wy[iy]
+                        for ix, dx in enumerate(tx):
+                            w = wzy * wx[ix]
+                            sl_y = slice(y0 + _PAD + dy,
+                                         y0 + _PAD + dy + yb)
+                            sl_x = slice(_PAD + dx, _PAD + dx + sx)
+                            gn = velz[dz + 1][c, 0, sl_y, sl_x]
+                            go = oldz[dz + 1][c, 0, sl_y, sl_x]
+                            new_acc = new_acc + w * gn[None]
+                            old_acc = old_acc + w * go[None]
+                blended = (ratio * (pv[c] + (new_acc - old_acc))
+                           + (1.0 - ratio) * new_acc)
+                outs[c][:, 0, y0:y0 + yb, :] = jnp.where(live, blended,
+                                                         pv[c])
 
 
 def flip_update_pallas(bk, vel, vel_old, flip_ratio: float, dom: Domain,
@@ -358,32 +366,33 @@ def flip_update_pallas(bk, vel, vel_old, flip_ratio: float, dom: Domain,
     def resh(a):
         return a.reshape(P, sz, sy, sx)
 
-    from .flip_bucket_pallas import tile_occupancy
-    yb = 8 if sy % 8 == 0 else sy
+    def zplane(dz):
+        return pl.BlockSpec((3, 1, sy + 2 * _PAD, sx + 2 * _PAD),
+                            lambda k, dz=dz: (0, k + _PAD + dz, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    yb = _pick_yb(sy)
     occ = tile_occupancy(bk.valid, dom, yb)
-    slab = pl.BlockSpec((P, 1, yb, sx), lambda k, j: (0, k, j, 0),
+    slab = pl.BlockSpec((P, 1, sy, sx), lambda k: (0, k, 0, 0),
                         memory_space=pltpu.VMEM)
     kern = functools.partial(_blend_kernel, shape=dom.shape, ppc=P, yb=yb)
-    call = pl.pallas_call(
+    ins = ([ratio, occ] + [velp] * 3 + [oldp] * 3
+           + [resh(bk.px), resh(bk.py), resh(bk.pz), resh(bk.vx),
+              resh(bk.vy), resh(bk.vz), resh(bk.valid.astype(jnp.float32))])
+    specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+             + [zplane(dz) for dz in (-1, 0, 1)] * 2
+             + [slab] * 7)
+    nvx, nvy, nvz = pl.pallas_call(
         kern,
-        grid=(sz, sy // yb),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # ratio
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # tile occupancy
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # velp (full)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # oldp (full)
-            slab, slab, slab, slab, slab, slab, slab,
-        ],
+        grid=(sz,),
+        in_specs=specs,
         out_specs=(slab, slab, slab),
         out_shape=tuple(jax.ShapeDtypeStruct((P, sz, sy, sx), jnp.float32)
                         for _ in range(3)),
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )
-    nvx, nvy, nvz = call(ratio, occ, velp, oldp, resh(bk.px), resh(bk.py),
-                         resh(bk.pz), resh(bk.vx), resh(bk.vy), resh(bk.vz),
-                         resh(bk.valid.astype(jnp.float32)))
+    )(*ins)
     T = bk.ncells
     return dataclasses.replace(bk, vx=nvx.reshape(P, T),
                                vy=nvy.reshape(P, T), vz=nvz.reshape(P, T))

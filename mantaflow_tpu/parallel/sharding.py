@@ -152,7 +152,8 @@ def shard_flip_bucket_state(state, mesh: Mesh):
         pressure=jax.device_put(state.pressure, gs),
         phi=jax.device_put(state.phi, gs),
         buckets=place_buckets(state.buckets),
-        ts=place_ts(state.ts))
+        ts=place_ts(state.ts),
+        blend_pending=jax.device_put(state.blend_pending, rep))
 
 
 def pad_to_multiple(n: int, m: int) -> int:

@@ -307,3 +307,58 @@ def test_rebin_fused_overflow_drops_match():
     for f in ("px", "py", "pz", "vx", "vy", "vz"):
         np.testing.assert_allclose(np.asarray(getattr(ref, f)),
                                    np.asarray(getattr(got, f)), atol=1e-6)
+
+
+def test_fused_advect_blend_matches_sequence(corner24):
+    """advect_blend_pallas == flip_update_bucketed followed by
+    advect_bucketed (pending=True), and == plain advect with velocities
+    untouched when pending=False."""
+    from mantaflow_tpu.ops import flip_bucket_pallas as fbp
+    dom, flags, bk, vel = corner24
+    vold = vel * 0.85
+
+    ref = fb.flip_update_bucketed(bk, vel, vold, 0.97, dom)
+    ref = fb.advect_bucketed(ref, flags, vel, 0.5, dom, 2)
+    got = fbp.advect_blend_pallas(bk, flags, vel, vold, 0.5,
+                                  jnp.ones((), jnp.bool_), 0.97, dom, 2,
+                                  interpret=True)
+    for f in ("px", "py", "pz", "vx", "vy", "vz"):
+        np.testing.assert_allclose(np.asarray(getattr(ref, f)),
+                                   np.asarray(getattr(got, f)), atol=1e-6,
+                                   err_msg=f)
+
+    ref0 = fb.advect_bucketed(bk, flags, vel, 0.5, dom, 2)
+    got0 = fbp.advect_blend_pallas(bk, flags, vel, vold, 0.5,
+                                   jnp.zeros((), jnp.bool_), 0.97, dom, 2,
+                                   interpret=True)
+    for f in ("px", "py", "pz"):
+        np.testing.assert_allclose(np.asarray(getattr(ref0, f)),
+                                   np.asarray(getattr(got0, f)), atol=1e-6)
+    for f in ("vx", "vy", "vz"):  # pending=False: velocities pass through
+        np.testing.assert_array_equal(np.asarray(getattr(bk, f)),
+                                      np.asarray(getattr(got0, f)))
+
+
+def test_finalize_buckets_closes_blend_lag():
+    """N bucketed steps + finalize == the same sequence with the blend
+    applied at each step's tail (i.e. particle velocities match the flat
+    path's convention after finalize)."""
+    dom = Domain(size=(16, 16, 16), dim=3)
+    params = flip.FlipParams(gravity=(0.0, -0.003, 0.0), ghost_fluid=True)
+    st = flip.make_dam_state_bucketed(dom, params, discretization=2, ppc=14)
+    step = jax.jit(lambda s: flip.flip_step_bucketed(s, dom, params))
+    for _ in range(3):
+        st = step(st)
+    assert bool(st.blend_pending)
+    fin = flip.finalize_buckets(st, dom, params)
+    assert not bool(fin.blend_pending)
+    # finalize == applying flip_update_bucketed by hand
+    ref = fb.flip_update_bucketed(st.buckets, st.vel, st.vel_old,
+                                  params.flip_ratio, dom)
+    for f in ("vx", "vy", "vz"):
+        np.testing.assert_array_equal(np.asarray(getattr(ref, f)),
+                                      np.asarray(getattr(fin.buckets, f)))
+    # idempotent
+    fin2 = flip.finalize_buckets(fin, dom, params)
+    np.testing.assert_array_equal(np.asarray(fin.buckets.vx),
+                                  np.asarray(fin2.buckets.vx))
