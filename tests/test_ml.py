@@ -183,3 +183,26 @@ def test_resnet_pressure_in_the_loop():
     pairs = re_.demo_nn_in_the_loop(net, params, scales, res=16, n_steps=4)
     afters = np.array([a for _, a in pairs])
     assert np.isfinite(afters).all() and afters[-1] < 0.05
+
+
+def test_datagen_randomization(tmp_path):
+    """mantaGen-style breadth: obstacles + noise inflow + parameter ranges
+    produce runnable sims and the advertised on-disk layout."""
+    from mantaflow_tpu.ml.datagen import (generate_flip_dataset,
+                                          generate_smoke_dataset,
+                                          load_dataset)
+    p1 = generate_smoke_dataset(str(tmp_path / "smoke"), num_sims=2,
+                                num_frames=2, res=16, obstacles=True,
+                                noise_inflow=True, seed=5)
+    dens = load_dataset(p1, "density")
+    assert len(dens) == 2 and len(dens[0]) == 2
+    arr = np.stack([f for s in dens for f in s])
+    assert np.isfinite(arr).all() and arr.max() > 0.05
+    # noise inflow: emitted density is NOT saturated constant-1
+    assert 0.0 < arr.max() <= 1.0
+
+    p2 = generate_flip_dataset(str(tmp_path / "flip"), num_sims=2,
+                               num_frames=2, res=16, obstacles=True, seed=5)
+    phis = load_dataset(p2, "phi")
+    assert len(phis) == 2
+    assert all(np.isfinite(f).all() for s in phis for f in s)

@@ -39,15 +39,22 @@ dt = 0.5
 log(f"state: ppc={bk.ppc} cells={bk.ncells} parts={int(bk.count())}")
 
 
+def _sync(out):
+    # forced device->host fetch: block_until_ready can return early
+    # through the axon tunnel (see .claude/skills/verify)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return float(jnp.sum(jnp.abs(leaf.astype(jnp.float32))))
+
+
 def bench(name, fn, arg, n=10):
     t0 = time.time()
     out = fn(arg)
-    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+    _sync(out)
     log(f"{name}: compile+run {time.time()-t0:.1f}s")
     t0 = time.time()
     for _ in range(n):
         out = fn(arg)
-    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+    _sync(out)
     log(f"{name}: {(time.time()-t0)/n*1000:.2f} ms")
     return out
 
@@ -57,6 +64,25 @@ if stage in ("advect", "all") and on_tpu:
     bench("advect_pallas", jax.jit(
         lambda b: fbp.advect_pallas(b, flags, vel, dt, dom, 2, True, True)),
         bk)
+
+if stage in ("advect", "all") and on_tpu:
+    from mantaflow_tpu.ops import flip_bucket_pallas as fbp
+    bench("advect_blend_pallas", jax.jit(
+        lambda b: fbp.advect_blend_pallas(
+            b, flags, vel, vel, dt, jnp.ones((), jnp.bool_), 0.97, dom, 2,
+            True, True)), bk)
+
+if stage in ("pressure", "all"):
+    from mantaflow_tpu.ops import extrapolation as xtr
+    from mantaflow_tpu.ops import pressure as prs
+    phi0 = fb.union_levelset_bucketed(bk, dom)
+    bench("solve_pressure(ghost)", jax.jit(
+        lambda v: prs.solve_pressure(v, flags, dom, cg_accuracy=1e-3,
+                                     phi=phi0)[0]), vel)
+    bench("extrap_weight+simple", jax.jit(
+        lambda v: xtr.extrapolate_mac_simple(
+            flags, xtr.extrapolate_mac_from_weight(
+                v, jnp.abs(v) + 0.5, dom, 2)[0], dom, 4)), vel)
 
 if stage in ("rebin", "all") and on_tpu:
     from mantaflow_tpu.ops import flip_bucket_pallas as fbp
