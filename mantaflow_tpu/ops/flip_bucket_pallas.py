@@ -368,6 +368,23 @@ _PASS_PERM = {
 }
 
 
+def _axis_movers(bk, dom: Domain, axis: int):
+    """(P, T) bool: valid slots whose truncated pass-axis coordinate leaves
+    the bucket cell (with the border force-stay clamp) — exactly the slots
+    a rebin pass moves. A block (or a whole pass) with none is the
+    IDENTITY, because buckets are always gap-free at pass entry (binning
+    and every pass park invalid slots at the tail)."""
+    from .flip_bucket import _cell_coords
+    cs = _cell_coords(dom)
+    n_axis = (dom.shape[2], dom.shape[1], dom.shape[0])[axis]
+    p_axis = (bk.px, bk.py, bk.pz)[axis]
+    caxis = cs[axis]
+    e = jnp.clip(p_axis.astype(jnp.int32) - caxis, -1, 1)
+    tgt = caxis + e
+    e = jnp.where((tgt < 0) | (tgt >= n_axis), 0, e)
+    return bk.valid & (e != 0)
+
+
 def _rebin_axis_pallas(bk, dom: Domain, axis: int, interpret: bool = False):
     sz, sy, sx = dom.shape
     P, T = bk.ppc, bk.ncells
@@ -387,39 +404,45 @@ def _rebin_axis_pallas(bk, dom: Domain, axis: int, interpret: bool = False):
     if rows % rb != 0:
         rb = rows
 
-    kern = functools.partial(_rebin_pass_kernel, pos_idx=pos_idx,
-                             n_axis=n_axis, ppc=P)
-    spec = pl.BlockSpec((P, 1, rb, n_axis), lambda i, j: (0, i, j, 0),
-                        memory_space=pltpu.VMEM)
-    vview = view(bk.valid)
-    # (outer, row-block) occupancy: the pass moves particles along the last
-    # (in-block) axis only, so an empty row-block stays empty — skippable
-    occ = jnp.any(vview.reshape(P, pshape[0], rows // rb, rb * n_axis),
+    # (outer, row-block) MOVER occupancy: a block where no particle crosses
+    # a cell border along this axis passes through untouched
+    movers = _axis_movers(bk, dom, axis)
+    occ = jnp.any(view(movers).reshape(P, pshape[0], rows // rb,
+                                       rb * n_axis),
                   axis=(0, 3)).astype(jnp.int32)
-    ins = [view(bk.px), view(bk.py), view(bk.pz), view(bk.vx), view(bk.vy),
-           view(bk.vz), vview.astype(jnp.float32)]
-    outs = pl.pallas_call(
-        kern,
-        grid=(pshape[0], rows // rb),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [spec] * 7,
-        out_specs=tuple([spec] * 7),
-        out_shape=tuple(jax.ShapeDtypeStruct((P,) + pshape, jnp.float32)
-                        for _ in range(7)),
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(occ, *ins)
-    inv = (0,) + tuple(1 + perm.index(i) for i in range(3))
-    flat = [o.transpose(inv).reshape(P, T) for o in outs[:6]]
-    new_valid = outs[6].transpose(inv).reshape(P, T) > 0.5
-    flat = _park_invalid(flat, new_valid, dom)
-    total = jnp.sum(bk.valid.astype(jnp.int32))
-    dropped = bk.dropped + (total
-                            - jnp.sum(new_valid.astype(jnp.int32))).astype(
-                                jnp.int32)
-    from .flip_bucket import Buckets
-    return Buckets(px=flat[0], py=flat[1], pz=flat[2], vx=flat[3],
-                   vy=flat[4], vz=flat[5], valid=new_valid, dropped=dropped)
+
+    def run_pass(bk):
+        kern = functools.partial(_rebin_pass_kernel, pos_idx=pos_idx,
+                                 n_axis=n_axis, ppc=P)
+        spec = pl.BlockSpec((P, 1, rb, n_axis), lambda i, j: (0, i, j, 0),
+                            memory_space=pltpu.VMEM)
+        ins = [view(bk.px), view(bk.py), view(bk.pz), view(bk.vx),
+               view(bk.vy), view(bk.vz), view(bk.valid).astype(jnp.float32)]
+        outs = pl.pallas_call(
+            kern,
+            grid=(pshape[0], rows // rb),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [spec] * 7,
+            out_specs=tuple([spec] * 7),
+            out_shape=tuple(jax.ShapeDtypeStruct((P,) + pshape, jnp.float32)
+                            for _ in range(7)),
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(occ, *ins)
+        inv = (0,) + tuple(1 + perm.index(i) for i in range(3))
+        flat = [o.transpose(inv).reshape(P, T) for o in outs[:6]]
+        new_valid = outs[6].transpose(inv).reshape(P, T) > 0.5
+        flat = _park_invalid(flat, new_valid, dom)
+        total = jnp.sum(bk.valid.astype(jnp.int32))
+        dropped = bk.dropped + (
+            total - jnp.sum(new_valid.astype(jnp.int32))).astype(jnp.int32)
+        from .flip_bucket import Buckets
+        return Buckets(px=flat[0], py=flat[1], pz=flat[2], vx=flat[3],
+                       vy=flat[4], vz=flat[5], valid=new_valid,
+                       dropped=dropped)
+
+    # whole-pass skip: nothing moves along this axis (calm/early states)
+    return jax.lax.cond(jnp.any(movers), run_pass, lambda b: b, bk)
 
 
 def rebin_pallas(bk, dom: Domain, interpret: bool = False):

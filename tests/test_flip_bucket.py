@@ -362,3 +362,61 @@ def test_finalize_buckets_closes_blend_lag():
     fin2 = flip.finalize_buckets(fin, dom, params)
     np.testing.assert_array_equal(np.asarray(fin.buckets.vx),
                                   np.asarray(fin2.buckets.vx))
+
+
+def test_full_step_matches_flat_with_obstacle():
+    """Bucketed-vs-flat equality WITH an interior sphere obstacle + ghost
+    fluid at a non-toy grid: the fast path must be a full capability, not
+    a ring-only shortcut (flip06_obstacle.py pattern, pushOutofObs /
+    obstacle-aware advection flip.cpp:599)."""
+    from mantaflow_tpu.core.shapes import Sphere
+    res = 48
+    dom = Domain(size=(res, res, res), dim=3)
+    params = flip.FlipParams(gravity=(0.0, -0.003, 0.0), ghost_fluid=True)
+    obs = Sphere(center=(res * 0.7, res * 0.28, res * 0.5),
+                 radius=res * 0.15)
+    st = flip.make_dam_state(dom, params, discretization=2, obstacle=obs)
+    st_bk = flip.make_dam_state_bucketed(dom, params, discretization=2,
+                                         obstacle=obs, ppc=14)
+    step_f = jax.jit(lambda s: flip.flip_step(s, dom, params))
+    step_b = jax.jit(lambda s: flip.flip_step_bucketed(s, dom, params))
+    for _ in range(4):
+        st = step_f(st)
+        st_bk = step_b(st_bk)
+    assert int(st_bk.buckets.dropped) == 0
+    assert int(st_bk.buckets.count()) == int(st.parts.count)
+    np.testing.assert_array_equal(np.asarray(st.flags),
+                                  np.asarray(st_bk.flags))
+    np.testing.assert_allclose(np.asarray(st.vel), np.asarray(st_bk.vel),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(st.phi), np.asarray(st_bk.phi),
+                               atol=2e-4)
+    # no particle ended up inside the obstacle
+    from mantaflow_tpu.core import flags as fl
+    bk = st_bk.buckets
+    obs_cells = np.asarray(fl.is_obstacle(st_bk.flags)).reshape(-1)
+    occupied = np.asarray(bk.valid).any(axis=0)
+    assert not (obs_cells & occupied).any()
+
+
+def test_pallas_kernels_with_interior_obstacle():
+    """Pallas advect (interpret) == XLA advect with a stamped interior
+    obstacle: the flags-at-position probes and bisection pushout read the
+    obstacle planes, not just the bounds test."""
+    from mantaflow_tpu.core import flags as fl
+    from mantaflow_tpu.core.shapes import Sphere
+    from mantaflow_tpu.ops import flip_bucket_pallas as fbp
+    res = 24
+    dom = Domain(size=(res, res, res), dim=3)
+    params = flip.FlipParams(ghost_fluid=True)
+    obs = Sphere(center=(res * 0.6, res * 0.4, res * 0.5), radius=res * 0.2)
+    st = flip.make_dam_state(dom, params, dam_frac=(0.5, 0.7, 1.0),
+                             discretization=2, obstacle=obs)
+    bk = fb.bin_from_particles(st.parts, st.pvel, dom, ppc=12)
+    rng = np.random.RandomState(3)
+    vel = jnp.asarray(rng.randn(3, *dom.shape).astype(np.float32)) * 0.4
+    ref = fb.advect_bucketed(bk, st.flags, vel, 0.8, dom, 2)
+    got = fbp.advect_pallas(bk, st.flags, vel, 0.8, dom, 2, interpret=True)
+    for f in ("px", "py", "pz"):
+        np.testing.assert_allclose(np.asarray(getattr(ref, f)),
+                                   np.asarray(getattr(got, f)), atol=1e-6)
