@@ -289,7 +289,32 @@ def _rebin_pass_kernel(*refs, pos_idx, n_axis, ppc):
         _rebin_pass_tile(ins, outs, pos_idx=pos_idx, n_axis=n_axis, ppc=ppc)
 
 
+def _up0(a, k: int):
+    """out[i] = a[i+k] along axis 0, zero/False-filled at the tail."""
+    pad = jnp.zeros((k,) + a.shape[1:], a.dtype)
+    return jnp.concatenate([a[k:], pad], axis=0)
+
+
+def _down0(a, k: int):
+    """out[i] = a[i-k] along axis 0, zero/False-filled at the head."""
+    pad = jnp.zeros((k,) + a.shape[1:], a.dtype)
+    return jnp.concatenate([pad, a[:-k]], axis=0)
+
+
 def _rebin_pass_tile(ins, outs, *, pos_idx, n_axis, ppc):
+    """Ranked-shuffle compaction (round 4): stack the three candidate
+    groups (movers-from-right, stayers, movers-from-left — arrival order)
+    in the DESTINATION frame as a (3P, ...) sequence, rank the valid
+    entries with a log-step prefix count, then deliver each to slot
+    rank[q] by LSB-first bit moves of its distance q - rank[q].
+
+    Correctness: distances are weakly monotone over the valid subsequence
+    and remain so after each bit stage (both multiples of the processed
+    bits), which rules out valid-on-valid landings and crossings; source
+    positions are cleared when pulled so stale duplicates can't re-move.
+    Replaces the round-3 per-output-slot indicator contraction, whose
+    vector work was O(P^2) per direction (3456 plane-ops at P=12) vs
+    O(P log P) here (~700)."""
     P = ppc
     blk = ins[0].shape  # (P, 1, rows, n_axis)
     fields = [r[...] for r in ins[:6]]
@@ -304,44 +329,46 @@ def _rebin_pass_tile(ins, outs, *, pos_idx, n_axis, ppc):
     e = jnp.where((tgt < 0) | (tgt >= n_axis), 0, e)
     e = jnp.where(valid, e, 2)
 
-    want = [e == d for d in (-1, 0, 1)]
-    # per-slot running ranks (cumsum over the bucket axis, unrolled: P small)
-    cs = [[] for _ in range(3)]
-    run = [jnp.zeros(blk[1:], jnp.int32) for _ in range(3)]
-    for p in range(P):
-        for di in range(3):
-            run[di] = run[di] + want[di][p].astype(jnp.int32)
-            cs[di].append(run[di])
-    cnt = run
-    o0 = _shift(cnt[0], -1, 2)  # cnt_-1 at cell b+1
-    o1 = _shift(cnt[0], -2, 2) + _shift(cnt[1], -1, 2)
-
-    cs = [jnp.stack(c) for c in cs]
-    fs = (jnp.where(want[0], cs[0] - 1, 0)
-          + jnp.where(want[1], cs[1] - 1 + o0[None], 0)
-          + jnp.where(want[2], cs[2] - 1 + o1[None], 0))
-
-    news = [[] for _ in range(6)]
-    vrows = []
-    for s in range(P):
-        accs = [jnp.zeros(blk[1:], jnp.float32) for _ in range(6)]
-        vrow = jnp.zeros(blk[1:], jnp.float32)
-        for di, d in enumerate((-1, 0, 1)):
-            ind = (want[di] & (fs == s)).astype(jnp.float32)
-            parts = [jnp.sum(ind * f, axis=0) for f in fields]
-            # destination slots are unique, so the per-direction indicator
-            # sums are disjoint: plain adds implement the union
-            pv = jnp.sum(ind, axis=0)
-            for fi in range(6):
-                accs[fi] = accs[fi] + _shift(parts[fi], d, 2)
-            vrow = vrow + _shift(pv, d, 2)
+    # stacked candidates in arrival order, destination frame (the rolls'
+    # wrapped rows only carry e != d slots: border movers are forced-stay)
+    K = 3 * P
+    sels, cands = [], [[] for _ in range(6)]
+    for d in (-1, 0, 1):
+        # int32 0/1 from the start: Mosaic cannot concatenate/truncate
+        # i1/i8 vectors, so no bool arrays may flow through shifts/moves
+        sels.append(_shift((e == d).astype(jnp.int32), d, AX))
         for fi in range(6):
-            news[fi].append(accs[fi])
-        vrows.append(vrow)
+            cands[fi].append(_shift(fields[fi], d, AX))
+    mark = jnp.concatenate(sels, axis=0)                  # (3P, 1, rows, n)
+    cand = [jnp.concatenate(c, axis=0) for c in cands]
 
+    # exclusive prefix count of valid candidates (Hillis-Steele)
+    inc = mark
+    k = 1
+    while k < K:
+        inc = inc + _down0(inc, k)
+        k *= 2
+    total = inc[K - 1:K]                                  # valid per column
+    rem = (jax.lax.broadcasted_iota(jnp.int32, mark.shape, 0)
+           - (inc - mark)) * mark
+
+    # LSB-first bit delivery
+    b = 1
+    while b < K:
+        cond = (_up0(mark, b) * (_up0(rem, b) & b)) != 0
+        condi = cond.astype(jnp.int32)
+        pulled = _down0(condi, b)                         # my element left
+        for fi in range(6):
+            cand[fi] = jnp.where(cond, _up0(cand[fi], b), cand[fi])
+        rem = jnp.where(cond, _up0(rem, b) - b, rem)
+        mark = jnp.where(cond, 1, mark * (1 - pulled))
+        b *= 2
+
+    sidx = jax.lax.broadcasted_iota(jnp.int32, blk, 0)
+    new_valid = sidx < total                              # first-`total` slots
     for fi, o in enumerate(outs[:6]):
-        o[...] = jnp.stack(news[fi])
-    outs[6][...] = jnp.stack(vrows)
+        o[...] = cand[fi][:P]
+    outs[6][...] = new_valid.astype(jnp.float32)
 
 
 def _park_invalid(outs, new_valid, dom):
