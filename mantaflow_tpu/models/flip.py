@@ -228,7 +228,8 @@ def make_dam_state_bucketed(dom: Domain, params: FlipParams,
 
 
 def flip_step_bucketed(state: FlipBucketState, dom: Domain,
-                       params: FlipParams) -> FlipBucketState:
+                       params: FlipParams,
+                       zshard=None) -> FlipBucketState:
     """flip_step on the bucket layout (same op chain as flip_step /
     scenes/flip01_simple.py:47-68); FLIP blend only (no APIC channel yet).
 
@@ -265,7 +266,20 @@ def flip_step_bucketed(state: FlipBucketState, dom: Domain,
 
     on_tpu = jax.default_backend() == "tpu"
     pending = state.blend_pending
-    if on_tpu:
+    if zshard is not None:
+        # multi-chip: the fused advect+blend runs as the z-sharded Pallas
+        # kernel with explicit ppermute halos (SURVEY §2.16); the rest of
+        # the step stays on the GSPMD-partitioned XLA forms
+        from ..ops import flip_bucket_pallas as fbp
+        mesh, axis = zshard
+        bk = fbp.advect_blend_zshard_spmd(
+            bk, flags, vel, state.vel_old, dt, pending, params.flip_ratio,
+            dom, mesh, axis_name=axis,
+            integration_mode=params.integration_mode,
+            stop_in_obstacle=True, ring_only=params.ring_only_obstacles)
+        bk = fb.rebin(bk, dom)
+        vel, weight = fb.p2g_mac(bk, dom)
+    elif on_tpu:
         from ..ops import flip_bucket_pallas as fbp
         from ..ops import flip_bucket_pallas2 as fbp2
         # deferred FLIP blend of the PREVIOUS step fused into stage 1 of
@@ -307,9 +321,10 @@ def flip_step_bucketed(state: FlipBucketState, dom: Domain,
 
     phi = state.phi
     if params.ghost_fluid:
-        if on_tpu:
+        if on_tpu and zshard is None:
             phi = fbp2.union_levelset_pallas(bk, dom, params.radius_factor)
         else:
+            # sharded path: the GSPMD-partitionable XLA form
             phi = fb.union_levelset_bucketed(bk, dom, params.radius_factor)
         phi = xtr.extrapolate_ls_simple(phi, dom, distance=4, inside=True)
 

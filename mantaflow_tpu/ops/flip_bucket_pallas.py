@@ -61,13 +61,20 @@ def tile_occupancy(valid, dom: Domain, yb: int):
 
 def _advect_kernel(sc_ref, occ_ref, *refs, shape, ppc, yb,
                    integration_mode, stop_in_obstacle, ring_only,
-                   with_blend, flip_ratio):
+                   with_blend, flip_ratio, sz_global=None):
     """One z-plane of buckets per grid step. refs layout (static counts):
     5 vel z-planes [dz=-2..2] · (3 vel_old z-planes if with_blend) ·
     (3 obstacle z-planes unless ring_only) · slab ins px py pz valid
-    (+ vx vy vz if with_blend) · slab outs ox oy oz (+ ovx ovy ovz)."""
+    (+ vx vy vz if with_blend) · slab outs ox oy oz (+ ovx ovy ovz).
+
+    Sharded operation (advect_blend_zshard): ``shape`` is the LOCAL z-slab
+    shape, ``sz_global`` the global z extent, and sc_ref[2] this shard's
+    global z offset — particle coordinates are always global."""
     sz, sy, sx = shape
-    k = pl.program_id(0)
+    if sz_global is None:
+        sz_global = sz
+    kl = pl.program_id(0)                       # local plane (occ/blocks)
+    kg = kl + sc_ref[2].astype(jnp.int32)       # global plane (coordinates)
     nold = 3 if with_blend else 0
     nobs = 0 if ring_only else 3
     velz = refs[:5]
@@ -86,7 +93,7 @@ def _advect_kernel(sc_ref, occ_ref, *refs, shape, ppc, yb,
         pv = tuple(slabs[4 + c][:, 0, y0:y0 + yb, :] for c in range(3)) \
             if with_blend else ()
 
-        @pl.when(occ_ref[k, j] == 0)
+        @pl.when(occ_ref[kl, j] == 0)
         def _skip(px=px, py=py, pz=pz, pv=pv, y0=y0):
             outs[0][:, 0, y0:y0 + yb, :] = px
             outs[1][:, 0, y0:y0 + yb, :] = py
@@ -94,10 +101,11 @@ def _advect_kernel(sc_ref, occ_ref, *refs, shape, ppc, yb,
             for c in range(3 if with_blend else 0):
                 outs[3 + c][:, 0, y0:y0 + yb, :] = pv[c]
 
-        @pl.when(occ_ref[k, j] > 0)
+        @pl.when(occ_ref[kl, j] > 0)
         def _compute(px=px, py=py, pz=pz, val=val, pv=pv, y0=y0):
             _advect_tile(sc_ref, velz, oldz, obsz, px, py, pz, val, pv,
-                         outs, k=k, y0=y0, shape=shape, ppc=ppc, yb=yb,
+                         outs, k=kg, y0=y0,
+                         shape=(sz_global, sy, sx), ppc=ppc, yb=yb,
                          integration_mode=integration_mode,
                          stop_in_obstacle=stop_in_obstacle,
                          ring_only=ring_only, with_blend=with_blend,
@@ -491,15 +499,22 @@ def _pick_yb(sy: int) -> int:
 
 def _advect_call(bk, flags, vel, dt, dom: Domain, integration_mode,
                  stop_in_obstacle, ring_only, interpret,
-                 vel_old=None, pending=None, flip_ratio: float = 0.0):
-    """Shared driver for advect_pallas / advect_blend_pallas."""
+                 vel_old=None, pending=None, flip_ratio: float = 0.0,
+                 z_base=None, sz_global: int | None = None,
+                 prehalo: bool = False):
+    """Shared driver for advect_pallas / advect_blend_pallas.
+
+    Sharded use (advect_blend_zshard): ``dom`` is the LOCAL slab domain,
+    ``vel``/``vel_old``/``flags`` arrive PRE-HALOED+padded (lz+4, sy+4,
+    sx+4), ``z_base`` is the shard's global z offset and ``sz_global``
+    the global z extent."""
     import dataclasses
 
     sz, sy, sx = dom.shape
     P, T = bk.ppc, bk.ncells
     with_blend = vel_old is not None
     pad = [(0, 0), (_PAD, _PAD), (_PAD, _PAD), (_PAD, _PAD)]
-    velp = jnp.pad(vel, pad)
+    velp = vel if prehalo else jnp.pad(vel, pad)
 
     def zplane(dz, nc=3):
         # overlapping z-plane windows via the block index: plane k+dz of
@@ -515,7 +530,9 @@ def _advect_call(bk, flags, vel, dt, dom: Domain, integration_mode,
 
     pend = (jnp.full((1,), 1.0, jnp.float32) if pending is None
             else jnp.asarray(pending, jnp.float32).reshape(1))
-    ins = [jnp.concatenate([jnp.full((1,), dt, jnp.float32), pend])]
+    zb = (jnp.zeros((1,), jnp.float32) if z_base is None
+          else jnp.asarray(z_base, jnp.float32).reshape(1))
+    ins = [jnp.concatenate([jnp.full((1,), dt, jnp.float32), pend, zb])]
     specs = [pl.BlockSpec(memory_space=pltpu.SMEM),     # (dt, pending)
              pl.BlockSpec(memory_space=pltpu.SMEM)]     # occupancy
     yb = _pick_yb(sy)
@@ -524,13 +541,13 @@ def _advect_call(bk, flags, vel, dt, dom: Domain, integration_mode,
         ins.append(velp)
         specs.append(zplane(dz))
     if with_blend:
-        oldp = jnp.pad(vel_old, pad)
+        oldp = vel_old if prehalo else jnp.pad(vel_old, pad)
         for dz in range(-1, 2):
             ins.append(oldp)
             specs.append(zplane(dz))
     if not ring_only:
-        obsp = jnp.pad(((flags & fl.TypeObstacle) != 0).astype(jnp.float32),
-                       pad[1:])
+        obsp = flags if prehalo else jnp.pad(
+            ((flags & fl.TypeObstacle) != 0).astype(jnp.float32), pad[1:])
         for dz in range(-1, 2):
             ins.append(obsp)
             specs.append(zplane3(dz))
@@ -552,7 +569,8 @@ def _advect_call(bk, flags, vel, dt, dom: Domain, integration_mode,
                              integration_mode=integration_mode,
                              stop_in_obstacle=stop_in_obstacle,
                              ring_only=ring_only, with_blend=with_blend,
-                             flip_ratio=float(flip_ratio))
+                             flip_ratio=float(flip_ratio),
+                             sz_global=sz_global)
     out = pl.pallas_call(
         kern,
         grid=(sz,),
@@ -807,3 +825,86 @@ def rebin_fused(bk, dom: Domain, interpret: bool = False):
     from .flip_bucket import Buckets
     return Buckets(px=flat[0], py=flat[1], pz=flat[2], vx=flat[3],
                    vy=flat[4], vz=flat[5], valid=new_valid, dropped=dropped)
+
+
+# ---------------------------------------------------------------------------
+# multi-chip: z-slab-sharded fused advect+blend (SURVEY §2.16 cell-block
+# particle sharding — halos ride the ICI)
+
+
+def _halo_z(a, h: int, axis_name: str, n: int, zaxis: int):
+    """Concatenate h-plane z halos from both mesh neighbors (lax.ppermute;
+    edge shards get ppermute's zero fill, which matches the unsharded
+    jnp.pad — out-of-range planes are never weight-selected)."""
+    nl = a.shape[zaxis]
+    fwd = [(i, i + 1) for i in range(n - 1)]
+    bwd = [(i + 1, i) for i in range(n - 1)]
+    low = jax.lax.ppermute(
+        jax.lax.slice_in_dim(a, nl - h, nl, axis=zaxis), axis_name, fwd)
+    high = jax.lax.ppermute(
+        jax.lax.slice_in_dim(a, 0, h, axis=zaxis), axis_name, bwd)
+    return jnp.concatenate([low, a, high], axis=zaxis)
+
+
+def advect_blend_zshard_spmd(bk, flags, vel, vel_old, dt, pending,
+                             flip_ratio, dom: Domain, mesh,
+                             axis_name: str = "z",
+                             integration_mode: int = 2,
+                             stop_in_obstacle: bool = True,
+                             ring_only: bool = False):
+    """advect_blend_pallas over a z-slab domain decomposition: grids and
+    the z-major flat bucket axis sharded over mesh axis ``axis_name``
+    (shard_flip_bucket_state layout); each shard exchanges +-2-plane
+    velocity (and obstacle) halos with its neighbors via lax.ppermute,
+    then runs the LOCAL plane-streaming kernel with its global z offset.
+    Semantics identical to the single-chip kernel — particle coordinates
+    stay global, weights for out-of-slab planes come from the halos."""
+    import dataclasses
+
+    from jax.sharding import PartitionSpec as P
+
+    sz, sy, sx = dom.shape
+    n = int(mesh.shape[axis_name])
+    if sz % n != 0:
+        raise ValueError(f"z extent {sz} not divisible by mesh axis {n}")
+    lz = sz // n
+    if lz < 2:
+        raise ValueError("z slab of 1 plane unsupported")
+    local_dom = Domain(size=(sx, sy, lz), dim=3)
+    interpret = jax.default_backend() != "tpu"
+
+    def body(px, py, pz, vx, vy, vz, valid, flags_l, vel_l, old_l, dtv,
+             pend):
+        zb = jax.lax.axis_index(axis_name) * lz
+        pad_yx = [(0, 0), (0, 0), (_PAD, _PAD), (_PAD, _PAD)]
+        velp = jnp.pad(_halo_z(vel_l, _PAD, axis_name, n, 1), pad_yx)
+        oldp = jnp.pad(_halo_z(old_l, _PAD, axis_name, n, 1), pad_yx)
+        if ring_only:
+            obsp = None
+        else:
+            obs = ((flags_l & fl.TypeObstacle) != 0).astype(jnp.float32)
+            obsp = jnp.pad(_halo_z(obs, _PAD, axis_name, n, 0), pad_yx[1:])
+        from .flip_bucket import Buckets
+        bk_l = Buckets(px=px, py=py, pz=pz, vx=vx, vy=vy, vz=vz,
+                       valid=valid > 0.5, dropped=jnp.int32(0))
+        out = _advect_call(bk_l, obsp, velp, dtv, local_dom,
+                           integration_mode, stop_in_obstacle, ring_only,
+                           interpret, vel_old=oldp, pending=pend,
+                           flip_ratio=flip_ratio, z_base=zb, sz_global=sz,
+                           prehalo=True)
+        return out.px, out.py, out.pz, out.vx, out.vy, out.vz
+
+    bspec = P(None, axis_name)
+    gspec = P(axis_name)
+    mspec = P(None, axis_name)
+    f = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(bspec,) * 7 + (gspec, mspec, mspec, P(), P()),
+        out_specs=(bspec,) * 6,
+        check_vma=False)
+    npx, npy, npz, nvx, nvy, nvz = f(
+        bk.px, bk.py, bk.pz, bk.vx, bk.vy, bk.vz,
+        bk.valid.astype(jnp.float32), flags, vel, vel_old,
+        jnp.asarray(dt, jnp.float32), jnp.asarray(pending, jnp.float32))
+    return dataclasses.replace(bk, px=npx, py=npy, pz=npz, vx=nvx, vy=nvy,
+                               vz=nvz)

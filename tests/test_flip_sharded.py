@@ -83,3 +83,48 @@ def test_flip_bucketed_sharded_matches_single_device():
                                atol=1e-5)
     np.testing.assert_array_equal(np.asarray(ref.flags),
                                   np.asarray(sh.flags))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_flip_bucketed_zshard_pallas_matches_single_device():
+    """Production FLIP kernels multi-chip (VERDICT r3 item 6): the fused
+    advect+blend runs as the z-sharded Pallas kernel with explicit
+    lax.ppermute halo exchange (interpret mode on the CPU mesh), the rest
+    under GSPMD; equality vs the single-device bucketed step, WITH an
+    interior obstacle (general flags-at-position probing through the
+    sharded obstacle halos)."""
+    from jax.sharding import Mesh
+
+    res = 16
+    dom = Domain(size=(res, res, res), dim=3)
+    params = flip.FlipParams(gravity=(0.0, -0.003, 0.0), ghost_fluid=True,
+                             cg_accuracy=1e-4)
+    obs = Sphere(center=(res * 0.7, res * 0.3, res * 0.5),
+                 radius=res * 0.2)
+    state0 = flip.make_dam_state_bucketed(dom, params, discretization=2,
+                                          obstacle=obs, ppc=14)
+
+    step = jax.jit(lambda s: flip.flip_step_bucketed(s, dom, params))
+    ref = state0
+    for _ in range(2):
+        ref = step(ref)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("z",))
+    sh = shd.shard_flip_bucket_state(state0, mesh)
+    zstep = jax.jit(lambda s: flip.flip_step_bucketed(s, dom, params,
+                                                      zshard=(mesh, "z")))
+    for _ in range(2):
+        sh = zstep(sh)
+
+    assert int(sh.buckets.dropped) == 0
+    assert int(sh.buckets.count()) == int(ref.buckets.count())
+    np.testing.assert_allclose(np.asarray(ref.vel), np.asarray(sh.vel),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ref.phi), np.asarray(sh.phi),
+                               atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(ref.flags),
+                                  np.asarray(sh.flags))
+    for f in ("px", "py", "pz"):
+        np.testing.assert_allclose(np.asarray(getattr(ref.buckets, f)),
+                                   np.asarray(getattr(sh.buckets, f)),
+                                   atol=2e-5)
