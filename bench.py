@@ -83,6 +83,13 @@ def bench_flip(res=None, mode=None):
                              cg_accuracy=1e-3,
                              ring_only_obstacles=True)  # dam: no interior obs
 
+    import jax
+    if mode == "auto" and jax.default_backend() == "tpu":
+        # measured r4: bucket 104 vs flat ~6 steps/s at 64^3 on v5e — the
+        # flat probe's compile alone costs minutes; skip it on TPU
+        mode = "bucket"
+        print("# auto: TPU -> bucket (flat probe skipped; see BASELINE.md)",
+              file=sys.stderr, flush=True)
     if mode == "auto":
         setups = {"flat": _flip_setup("flat", dom, params)}
         rate_f, _ = _time_steps(*setups["flat"][:2], 3)

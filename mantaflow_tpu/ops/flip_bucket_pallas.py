@@ -273,28 +273,23 @@ def _shift(a, k: int, axis: int):
     return jnp.concatenate([lo, hi], axis=axis)
 
 
-def _rebin_pass_kernel(*refs, pos_idx, n_axis, ppc):
-    """One rebin axis pass (flip_bucket._rebin_axis semantics) along the
-    LAST block axis, which spans the whole grid axis. refs = 7 in (px py pz
-    vx vy vz valid) + 7 out, block shape (P, 1, rows, n_axis); ``pos_idx``
-    selects the position channel matching the pass axis.
-
-    The slot-compaction ranks (cumsum over the bucket axis), destination
-    block offsets, and the (slot x direction) indicator contraction all
-    happen in VMEM; wrap-around of the static shifts only ever reads the
-    obstacle ring (which holds no particles), exactly like the flat-roll
-    XLA form.
-    """
+def _rebin_pass_kernel(*refs, pos_idx, n_axis, ppc, ax):
+    """One in-plane rebin axis pass (flip_bucket._rebin_axis semantics)
+    along block axis ``ax``, which spans the whole grid axis (x: ax=3 on
+    (P, 1, rows, sx) blocks; y: ax=2 on (P, 1, sy, xb) blocks — natural
+    layout, no HBM transposes). refs = 7 in (px py pz vx vy vz valid) +
+    7 out; ``pos_idx`` selects the position channel of the pass axis."""
     occ_ref, ins, outs = refs[0], refs[1:8], refs[8:]
 
     @pl.when(occ_ref[pl.program_id(0), pl.program_id(1)] == 0)
-    def _skip():  # no particles in these rows: fields pass through
+    def _skip():  # no movers in these rows: fields pass through
         for i, o in zip(ins, outs):
             o[...] = i[...]
 
     @pl.when(occ_ref[pl.program_id(0), pl.program_id(1)] > 0)
     def _compute():
-        _rebin_pass_tile(ins, outs, pos_idx=pos_idx, n_axis=n_axis, ppc=ppc)
+        _rebin_pass_tile(ins, outs, pos_idx=pos_idx, n_axis=n_axis,
+                         ppc=ppc, ax=ax)
 
 
 def _up0(a, k: int):
@@ -309,12 +304,13 @@ def _down0(a, k: int):
     return jnp.concatenate([pad, a[:-k]], axis=0)
 
 
-def _rebin_pass_tile(ins, outs, *, pos_idx, n_axis, ppc):
-    """Ranked-shuffle compaction (round 4): stack the three candidate
-    groups (movers-from-right, stayers, movers-from-left — arrival order)
-    in the DESTINATION frame as a (3P, ...) sequence, rank the valid
-    entries with a log-step prefix count, then deliver each to slot
-    rank[q] by LSB-first bit moves of its distance q - rank[q].
+def _ranked_deliver(cand, mark, P):
+    """Ranked-shuffle compaction core (round 4): given K = len-3P stacked
+    candidates ``cand`` (list of 6 field arrays, axis 0 = candidate) with
+    int32 validity ``mark`` in ARRIVAL order, deliver each valid candidate
+    to slot rank[q] (its exclusive valid-prefix count) by LSB-first bit
+    moves of its distance q - rank[q]. Returns (delivered fields, total
+    valid per column).
 
     Correctness: distances are weakly monotone over the valid subsequence
     and remain so after each bit stage (both multiples of the processed
@@ -323,34 +319,7 @@ def _rebin_pass_tile(ins, outs, *, pos_idx, n_axis, ppc):
     Replaces the round-3 per-output-slot indicator contraction, whose
     vector work was O(P^2) per direction (3456 plane-ops at P=12) vs
     O(P log P) here (~700)."""
-    P = ppc
-    blk = ins[0].shape  # (P, 1, rows, n_axis)
-    fields = [r[...] for r in ins[:6]]
-    valid = ins[6][...] > 0.5
-    AX = 3
-
-    cax = jax.lax.broadcasted_iota(jnp.int32, blk, AX)
-    p_axis = fields[pos_idx]
-
-    e = jnp.clip(p_axis.astype(jnp.int32) - cax, -1, 1)
-    tgt = cax + e
-    e = jnp.where((tgt < 0) | (tgt >= n_axis), 0, e)
-    e = jnp.where(valid, e, 2)
-
-    # stacked candidates in arrival order, destination frame (the rolls'
-    # wrapped rows only carry e != d slots: border movers are forced-stay)
-    K = 3 * P
-    sels, cands = [], [[] for _ in range(6)]
-    for d in (-1, 0, 1):
-        # int32 0/1 from the start: Mosaic cannot concatenate/truncate
-        # i1/i8 vectors, so no bool arrays may flow through shifts/moves
-        sels.append(_shift((e == d).astype(jnp.int32), d, AX))
-        for fi in range(6):
-            cands[fi].append(_shift(fields[fi], d, AX))
-    mark = jnp.concatenate(sels, axis=0)                  # (3P, 1, rows, n)
-    cand = [jnp.concatenate(c, axis=0) for c in cands]
-
-    # exclusive prefix count of valid candidates (Hillis-Steele)
+    K = mark.shape[0]
     inc = mark
     k = 1
     while k < K:
@@ -360,18 +329,48 @@ def _rebin_pass_tile(ins, outs, *, pos_idx, n_axis, ppc):
     rem = (jax.lax.broadcasted_iota(jnp.int32, mark.shape, 0)
            - (inc - mark)) * mark
 
-    # LSB-first bit delivery
     b = 1
     while b < K:
         cond = (_up0(mark, b) * (_up0(rem, b) & b)) != 0
         condi = cond.astype(jnp.int32)
         pulled = _down0(condi, b)                         # my element left
-        for fi in range(6):
-            cand[fi] = jnp.where(cond, _up0(cand[fi], b), cand[fi])
+        cand = [jnp.where(cond, _up0(f, b), f) for f in cand]
         rem = jnp.where(cond, _up0(rem, b) - b, rem)
         mark = jnp.where(cond, 1, mark * (1 - pulled))
         b *= 2
+    return cand, total
 
+
+def _rebin_pass_tile(ins, outs, *, pos_idx, n_axis, ppc, ax):
+    """Stack the three candidate groups (movers-from-right, stayers,
+    movers-from-left — arrival order) in the DESTINATION frame along the
+    pass axis ``ax``, then _ranked_deliver them into the P output slots."""
+    P = ppc
+    blk = ins[0].shape
+    fields = [r[...] for r in ins[:6]]
+    valid = ins[6][...] > 0.5
+
+    cax = jax.lax.broadcasted_iota(jnp.int32, blk, ax)
+    p_axis = fields[pos_idx]
+
+    e = jnp.clip(p_axis.astype(jnp.int32) - cax, -1, 1)
+    tgt = cax + e
+    e = jnp.where((tgt < 0) | (tgt >= n_axis), 0, e)
+    e = jnp.where(valid, e, 2)
+
+    # stacked candidates in arrival order, destination frame (the rolls'
+    # wrapped rows only carry e != d slots: border movers are forced-stay)
+    sels, cands = [], [[] for _ in range(6)]
+    for d in (-1, 0, 1):
+        # int32 0/1 from the start: Mosaic cannot concatenate/truncate
+        # i1/i8 vectors, so no bool arrays may flow through shifts/moves
+        sels.append(_shift((e == d).astype(jnp.int32), d, ax))
+        for fi in range(6):
+            cands[fi].append(_shift(fields[fi], d, ax))
+    mark = jnp.concatenate(sels, axis=0)                  # (3P, ...)
+    cand = [jnp.concatenate(c, axis=0) for c in cands]
+
+    cand, total = _ranked_deliver(cand, mark, P)
     sidx = jax.lax.broadcasted_iota(jnp.int32, blk, 0)
     new_valid = sidx < total                              # first-`total` slots
     for fi, o in enumerate(outs[:6]):
@@ -393,14 +392,50 @@ def _park_invalid(outs, new_valid, dom):
     return fixed
 
 
-# per pass axis (0=x, 1=y, 2=z): permutation of the grid dims (z,y,x) that
-# puts the pass axis LAST (position channel index given alongside); the
-# kernel always compacts along the last block axis
-_PASS_PERM = {
-    0: ((0, 1, 2), 0),          # (z, y, x) — x last already
-    1: ((0, 2, 1), 1),          # (z, x, y)
-    2: ((1, 2, 0), 2),          # (y, x, z)
-}
+def _rebin_zpass_kernel(occ_ref, *refs, ppc, sz):
+    """z rebin pass as a 3-plane streaming kernel: output plane t's
+    candidates are (movers down from t+1, stayers of t, movers up from
+    t-1), read through three overlapping z-plane BlockSpecs per field, so
+    the pass needs NO transposed layout and no ring state — the +-1-plane
+    movement window makes plane t's result local to planes t-1..t+1."""
+    ins = refs[:21]          # 7 fields x 3 planes (t+1, t, t-1 order)
+    outs = refs[21:]
+    t = pl.program_id(0)
+    P = ppc
+
+    def plane(fi, g):        # g: 0 = t+1, 1 = t, 2 = t-1
+        return ins[fi * 3 + g][:, 0]
+
+    @pl.when(occ_ref[t] == 0)
+    def _skip():  # no z-movers near this plane: fields pass through
+        for fi in range(7):
+            outs[fi][:, 0] = plane(fi, 1)
+
+    @pl.when(occ_ref[t] > 0)
+    def _compute():
+        blk = plane(0, 1).shape                      # (P, sy, sx)
+        ok_hi = (t < sz - 1).astype(jnp.int32)       # plane t+1 exists
+        ok_lo = (t > 0).astype(jnp.int32)
+        sels, cands = [], [[] for _ in range(6)]
+        # arrival order: movers from t+1 (e=-1), stayers, movers from t-1
+        for d, g, ok in ((-1, 0, ok_hi), (0, 1, 1), (1, 2, ok_lo)):
+            s = t - d                                # source plane
+            pz = plane(2, g)
+            valid = plane(6, g) > 0.5
+            e = jnp.clip(pz.astype(jnp.int32) - s, -1, 1)
+            tgt = s + e
+            e = jnp.where((tgt < 0) | (tgt >= sz), 0, e)
+            sel = jnp.where(valid, (e == d).astype(jnp.int32), 0) * ok
+            sels.append(sel)
+            for fi in range(6):
+                cands[fi].append(plane(fi, g))
+        mark = jnp.concatenate(sels, axis=0)
+        cand = [jnp.concatenate(c, axis=0) for c in cands]
+        cand, total = _ranked_deliver(cand, mark, P)
+        sidx = jax.lax.broadcasted_iota(jnp.int32, (P,) + blk[1:], 0)
+        for fi in range(6):
+            outs[fi][:, 0] = cand[fi][:P]
+        outs[6][:, 0] = (sidx < total).astype(jnp.float32)
 
 
 def _axis_movers(bk, dom: Domain, axis: int):
@@ -421,63 +456,125 @@ def _axis_movers(bk, dom: Domain, axis: int):
 
 
 def _rebin_axis_pallas(bk, dom: Domain, axis: int, interpret: bool = False):
+    """One rebin axis pass, natural (P, z, y, x) layout throughout —
+    x/y passes compact in-block along their axis; the z pass streams three
+    overlapping z-plane windows. (Round 3 transposed the y/z passes into
+    pass-axis-last layouts: 4 full HBM transpose round-trips of 7 (PPC, T)
+    fields per rebin, ~1.7 ms at 64^3 — all gone.)"""
     sz, sy, sx = dom.shape
     P, T = bk.ppc, bk.ncells
-    perm, pos_idx = _PASS_PERM[axis]
-    dims = (sz, sy, sx)
-    pshape = tuple(dims[i] for i in perm)          # grid dims, pass axis last
-    aperm = (0,) + tuple(1 + i for i in perm)      # incl. bucket axis
 
-    def view(a):
-        return a.reshape(P, sz, sy, sx).transpose(aperm)
+    def resh(a):
+        return a.reshape(P, sz, sy, sx)
 
-    n_axis = pshape[-1]
-    rows = pshape[1]
-    rb = 8
-    while rows % (2 * rb) == 0 and P * 2 * rb * n_axis * 4 * 30 < 4 * 2**20:
-        rb *= 2
-    if rows % rb != 0:
-        rb = rows
-
-    # (outer, row-block) MOVER occupancy: a block where no particle crosses
-    # a cell border along this axis passes through untouched
     movers = _axis_movers(bk, dom, axis)
-    occ = jnp.any(view(movers).reshape(P, pshape[0], rows // rb,
-                                       rb * n_axis),
-                  axis=(0, 3)).astype(jnp.int32)
+    mv = resh(movers)
+
+    if axis == 2:                           # z pass: 3-plane streaming
+        mz = jnp.any(mv, axis=(0, 2, 3))                        # (sz,)
+        occ3 = (mz | jnp.pad(mz[1:], (0, 1)) | jnp.pad(mz[:-1], (1, 0)))
+        occ = occ3.astype(jnp.int32)
+
+        def zspec(dz):
+            if dz == 0:
+                return pl.BlockSpec((P, 1, sy, sx),
+                                    lambda t: (0, t, 0, 0),
+                                    memory_space=pltpu.VMEM)
+            if dz == 1:
+                return pl.BlockSpec((P, 1, sy, sx),
+                                    lambda t: (0, jnp.minimum(t + 1, sz - 1),
+                                               0, 0),
+                                    memory_space=pltpu.VMEM)
+            return pl.BlockSpec((P, 1, sy, sx),
+                                lambda t: (0, jnp.maximum(t - 1, 0), 0, 0),
+                                memory_space=pltpu.VMEM)
+
+        def run_pass(bk):
+            fields = [resh(bk.px), resh(bk.py), resh(bk.pz), resh(bk.vx),
+                      resh(bk.vy), resh(bk.vz),
+                      resh(bk.valid.astype(jnp.float32))]
+            ins, specs = [], [pl.BlockSpec(memory_space=pltpu.SMEM)]
+            for f in fields:
+                for dz in (1, 0, -1):       # kernel order: t+1, t, t-1
+                    ins.append(f)
+                    specs.append(zspec(dz))
+            ospec = pl.BlockSpec((P, 1, sy, sx), lambda t: (0, t, 0, 0),
+                                 memory_space=pltpu.VMEM)
+            kern = functools.partial(_rebin_zpass_kernel, ppc=P, sz=sz)
+            outs = pl.pallas_call(
+                kern,
+                grid=(sz,),
+                in_specs=specs,
+                out_specs=tuple([ospec] * 7),
+                out_shape=tuple(
+                    jax.ShapeDtypeStruct((P, sz, sy, sx), jnp.float32)
+                    for _ in range(7)),
+                compiler_params=None if interpret else pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+                interpret=interpret,
+            )(occ, *ins)
+            return _finish_pass(bk, outs, dom)
+
+        return jax.lax.cond(jnp.any(mz), run_pass, lambda b: b, bk)
+
+    if axis == 0:                           # x pass: rows of full-x blocks
+        pos_idx, ax, n_axis = 0, 3, sx
+        rb = 8
+        while sy % (2 * rb) == 0 and P * 2 * rb * sx * 4 * 30 < 4 * 2**20:
+            rb *= 2
+        if sy % rb != 0:
+            rb = sy
+        blkshape = (P, 1, rb, sx)
+        grid = (sz, sy // rb)
+        spec = pl.BlockSpec(blkshape, lambda i, j: (0, i, j, 0),
+                            memory_space=pltpu.VMEM)
+        occ = jnp.any(mv.reshape(P, sz, sy // rb, rb * sx),
+                      axis=(0, 3)).astype(jnp.int32)
+    else:                                   # y pass: full-y, x-blocked
+        pos_idx, ax, n_axis = 1, 2, sy
+        xb = sx if sx <= 128 or sx % 128 != 0 else 128
+        blkshape = (P, 1, sy, xb)
+        grid = (sz, sx // xb)
+        spec = pl.BlockSpec(blkshape, lambda i, j: (0, i, 0, j),
+                            memory_space=pltpu.VMEM)
+        occ = jnp.any(mv.reshape(P, sz, sy, sx // xb, xb),
+                      axis=(0, 2, 4)).astype(jnp.int32)
 
     def run_pass(bk):
         kern = functools.partial(_rebin_pass_kernel, pos_idx=pos_idx,
-                                 n_axis=n_axis, ppc=P)
-        spec = pl.BlockSpec((P, 1, rb, n_axis), lambda i, j: (0, i, j, 0),
-                            memory_space=pltpu.VMEM)
-        ins = [view(bk.px), view(bk.py), view(bk.pz), view(bk.vx),
-               view(bk.vy), view(bk.vz), view(bk.valid).astype(jnp.float32)]
+                                 n_axis=n_axis, ppc=P, ax=ax)
+        ins = [resh(bk.px), resh(bk.py), resh(bk.pz), resh(bk.vx),
+               resh(bk.vy), resh(bk.vz), resh(bk.valid.astype(jnp.float32))]
         outs = pl.pallas_call(
             kern,
-            grid=(pshape[0], rows // rb),
+            grid=grid,
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [spec] * 7,
             out_specs=tuple([spec] * 7),
-            out_shape=tuple(jax.ShapeDtypeStruct((P,) + pshape, jnp.float32)
+            out_shape=tuple(jax.ShapeDtypeStruct((P, sz, sy, sx),
+                                                 jnp.float32)
                             for _ in range(7)),
             compiler_params=None if interpret else pltpu.CompilerParams(
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(occ, *ins)
-        inv = (0,) + tuple(1 + perm.index(i) for i in range(3))
-        flat = [o.transpose(inv).reshape(P, T) for o in outs[:6]]
-        new_valid = outs[6].transpose(inv).reshape(P, T) > 0.5
-        flat = _park_invalid(flat, new_valid, dom)
-        total = jnp.sum(bk.valid.astype(jnp.int32))
-        dropped = bk.dropped + (
-            total - jnp.sum(new_valid.astype(jnp.int32))).astype(jnp.int32)
-        from .flip_bucket import Buckets
-        return Buckets(px=flat[0], py=flat[1], pz=flat[2], vx=flat[3],
-                       vy=flat[4], vz=flat[5], valid=new_valid,
-                       dropped=dropped)
+        return _finish_pass(bk, outs, dom)
 
     # whole-pass skip: nothing moves along this axis (calm/early states)
     return jax.lax.cond(jnp.any(movers), run_pass, lambda b: b, bk)
+
+
+def _finish_pass(bk, outs, dom: Domain):
+    """Flatten pass outputs, park invalid slots, account drops."""
+    P, T = bk.ppc, bk.ncells
+    flat = [o.reshape(P, T) for o in outs[:6]]
+    new_valid = outs[6].reshape(P, T) > 0.5
+    flat = _park_invalid(flat, new_valid, dom)
+    total = jnp.sum(bk.valid.astype(jnp.int32))
+    dropped = bk.dropped + (
+        total - jnp.sum(new_valid.astype(jnp.int32))).astype(jnp.int32)
+    from .flip_bucket import Buckets
+    return Buckets(px=flat[0], py=flat[1], pz=flat[2], vx=flat[3],
+                   vy=flat[4], vz=flat[5], valid=new_valid, dropped=dropped)
 
 
 def rebin_pallas(bk, dom: Domain, interpret: bool = False):
