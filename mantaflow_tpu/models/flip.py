@@ -279,6 +279,7 @@ def flip_step_bucketed(state: FlipBucketState, dom: Domain,
             stop_in_obstacle=True, ring_only=params.ring_only_obstacles)
         bk = fb.rebin(bk, dom)
         vel, weight = fb.p2g_mac(bk, dom)
+        phi_fused = None
     elif on_tpu:
         from ..ops import flip_bucket_pallas as fbp
         from ..ops import flip_bucket_pallas2 as fbp2
@@ -297,7 +298,17 @@ def flip_step_bucketed(state: FlipBucketState, dom: Domain,
             bk = fbp.rebin_fused(bk, dom)
         else:
             bk = fbp.rebin_pallas(bk, dom)
-        vel, weight = fbp2.p2g_mac_pallas(bk, dom)
+        import math as _math
+        rw1 = int(0.5 * _math.sqrt(3.0) * (params.radius_factor + 0.01)) \
+            + 1 == 1
+        if (params.ghost_fluid and rw1
+                and os.environ.get("MANTA_NO_P2G_FUSE", "") != "1"):
+            # fused p2g + union levelset: one pass over the source slabs
+            vel, weight, phi_fused = fbp2.p2g_union_pallas(
+                bk, dom, params.radius_factor)
+        else:
+            vel, weight = fbp2.p2g_mac_pallas(bk, dom)
+            phi_fused = None
     else:
         blended = fb.flip_update_bucketed(bk, vel, state.vel_old,
                                           params.flip_ratio, dom)
@@ -311,6 +322,7 @@ def flip_step_bucketed(state: FlipBucketState, dom: Domain,
                                 ring_only=params.ring_only_obstacles)
         bk = fb.rebin(bk, dom)
         vel, weight = fb.p2g_mac(bk, dom)
+        phi_fused = None
     vel_old = vel
     vel, _ = xtr.extrapolate_mac_from_weight(vel, weight, dom,
                                              params.extrap_weight_dist)
@@ -321,7 +333,9 @@ def flip_step_bucketed(state: FlipBucketState, dom: Domain,
 
     phi = state.phi
     if params.ghost_fluid:
-        if on_tpu and zshard is None:
+        if phi_fused is not None:
+            phi = phi_fused
+        elif on_tpu and zshard is None:
             phi = fbp2.union_levelset_pallas(bk, dom, params.radius_factor)
         else:
             # sharded path: the GSPMD-partitionable XLA form

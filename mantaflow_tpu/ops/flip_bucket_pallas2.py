@@ -396,3 +396,163 @@ def flip_update_pallas(bk, vel, vel_old, flip_ratio: float, dom: Domain,
     T = bk.ncells
     return dataclasses.replace(bk, vx=nvx.reshape(P, T),
                                vy=nvy.reshape(P, T), vz=nvz.reshape(P, T))
+
+
+# ---------------------------------------------------------------------------
+# fused p2g + union levelset: both are source-centric streaming scatters
+# over the same +-1-plane window, so one kernel shares the slab DMA,
+# position loads and iotas (the levelset only adds its min-scatter taps)
+
+
+def _p2g_ls_kernel(occ_ref, px_ref, py_ref, pz_ref, vx_ref, vy_ref, vz_ref,
+                   val_ref, oacc_ref, owacc_ref, od2_ref, acc_ref, wacc_ref,
+                   d2_ref, *, shape, ppc, yb):
+    sz, sy, sx = shape
+    P = ppc
+    t = pl.program_id(0)
+    big = jnp.float32(_BIG)
+
+    @pl.when(t == 0)
+    def _init_all():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        wacc_ref[...] = jnp.zeros_like(wacc_ref)
+        d2_ref[...] = jnp.full_like(d2_ref, _BIG)
+
+    for j in range(sy // yb):
+        y0 = j * yb
+
+        @pl.when(occ_ref[t, j] > 0)   # padded row sz is 0: no work at t==sz
+        def _accum(y0=y0):
+            px = px_ref[:, 0, y0:y0 + yb, :]
+            py = py_ref[:, 0, y0:y0 + yb, :]
+            pz = pz_ref[:, 0, y0:y0 + yb, :]
+            af = val_ref[:, 0, y0:y0 + yb, :]
+            valid = af > 0.5
+            pvel = (vx_ref[:, 0, y0:y0 + yb, :],
+                    vy_ref[:, 0, y0:y0 + yb, :],
+                    vz_ref[:, 0, y0:y0 + yb, :])
+            cxi = jax.lax.broadcasted_iota(jnp.int32, (P, yb, sx), 2)
+            cyi = jax.lax.broadcasted_iota(jnp.int32, (P, yb, sx), 1) + y0
+
+            # --- p2g (mapPartsToMAC) ---
+            for c in range(3):
+                ox, oy, oz = _MAC_SHIFTS[c]
+                bx, wx1 = _axw(px - ox, sx)
+                by, wy1 = _axw(py - oy, sy)
+                bz, wz1 = _axw(pz - oz, sz)
+                tx = _T0_OWN if c == 0 else _T0_CROSS
+                ty = _T0_OWN if c == 1 else _T0_CROSS
+                tz = _T0_OWN if c == 2 else _T0_CROSS
+                wx = _tapw(bx - cxi, wx1, tx)
+                wy = _tapw(by - cyi, wy1, ty)
+                wz = _tapw(bz - t, wz1, tz)
+                vc = pvel[c]
+                for iz, dz in enumerate(tz):
+                    sl = dz + 1
+                    for iy, dy in enumerate(ty):
+                        w_rows = jnp.zeros((yb, sx), jnp.float32)
+                        a_rows = jnp.zeros((yb, sx), jnp.float32)
+                        wzy = wz[iz] * wy[iy] * af
+                        for ix, dx in enumerate(tx):
+                            w = wzy * wx[ix]
+                            w_rows = w_rows + _shiftx(jnp.sum(w, axis=0), dx)
+                            a_rows = a_rows + _shiftx(
+                                jnp.sum(w * vc, axis=0), dx)
+                        dst, src, n = _place(yb, y0, dy, sy)
+                        if n <= 0:
+                            continue
+                        r = sl * 3 + c
+                        acc_ref[r, dst:dst + n] = \
+                            acc_ref[r, dst:dst + n] + a_rows[src:src + n]
+                        wacc_ref[r, dst:dst + n] = \
+                            wacc_ref[r, dst:dst + n] + w_rows[src:src + n]
+
+            # --- union levelset (rw == 1) ---
+            ex = jnp.where(valid, px - (cxi.astype(jnp.float32) + 0.5), 0.0)
+            ey = jnp.where(valid, py - (cyi.astype(jnp.float32) + 0.5), 0.0)
+            ez = jnp.where(valid, pz - (t + 0.5), 0.0)
+            r2 = ex * ex + ey * ey + ez * ez
+            for dz in (-1, 0, 1):
+                sl = dz + 1
+                for dy in (-1, 0, 1):
+                    rows = None
+                    for dx in (-1, 0, 1):
+                        c2 = float(dx * dx + dy * dy + dz * dz)
+                        d2 = r2 - 2.0 * (ex * dx + ey * dy + ez * dz) + c2
+                        part = jnp.min(jnp.where(valid, d2, big), axis=0)
+                        sh = _shiftx(part, dx, fill=big)
+                        rows = sh if rows is None else jnp.minimum(rows, sh)
+                    dst, src, cnt = _place(yb, y0, dy, sy)
+                    if cnt <= 0:
+                        continue
+                    d2_ref[sl, dst:dst + cnt] = jnp.minimum(
+                        d2_ref[sl, dst:dst + cnt], rows[src:src + cnt])
+
+    @pl.when(t >= 1)
+    def _emit():  # plane t-1 (slot 0) is complete for all three outputs
+        oacc_ref[...] = acc_ref[0:3][:, None]
+        owacc_ref[...] = wacc_ref[0:3][:, None]
+        od2_ref[0] = d2_ref[0]
+
+    for r in range(6):
+        acc_ref[r] = acc_ref[r + 3]
+        wacc_ref[r] = wacc_ref[r + 3]
+    z = jnp.zeros((sy, sx), jnp.float32)
+    for r in range(6, 9):
+        acc_ref[r] = z
+        wacc_ref[r] = z
+    for s in range(2):
+        d2_ref[s] = d2_ref[s + 1]
+    d2_ref[2] = jnp.full((sy, sx), _BIG, jnp.float32)
+
+
+def p2g_union_pallas(bk, dom: Domain, radius_factor: float = 1.0,
+                     interpret: bool = False):
+    """Fused p2g_mac + union_levelset (rw==1 radii only): returns
+    (vel, stomped weight, phi) in one pass over the source slabs."""
+    from ..core.masks import interior_mask
+    sz, sy, sx = dom.shape
+    P = bk.ppc
+    radius = 0.5 * ((math.sqrt(3.0) if dom.is3d else math.sqrt(2.0))
+                    * (radius_factor + 0.01))
+    if int(radius) + 1 != 1:
+        raise ValueError("p2g_union_pallas supports rw == 1 radii only")
+
+    def resh(a):
+        return a.reshape(P, sz, sy, sx)
+
+    yb = _pick_yb(sy)
+    occ = jnp.pad(tile_occupancy(bk.valid, dom, yb), ((0, 1), (0, 0)))
+    slab = pl.BlockSpec((P, 1, sy, sx),
+                        lambda t: (0, jnp.minimum(t, sz - 1), 0, 0),
+                        memory_space=pltpu.VMEM)
+    outp = pl.BlockSpec((3, 1, sy, sx),
+                        lambda t: (0, jnp.maximum(t - 1, 0), 0, 0),
+                        memory_space=pltpu.VMEM)
+    outp1 = pl.BlockSpec((1, sy, sx),
+                         lambda t: (jnp.maximum(t - 1, 0), 0, 0),
+                         memory_space=pltpu.VMEM)
+    kern = functools.partial(_p2g_ls_kernel, shape=dom.shape, ppc=P, yb=yb)
+    acc, wacc, d2min = pl.pallas_call(
+        kern,
+        grid=(sz + 1,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [slab] * 7,
+        out_specs=(outp, outp, outp1),
+        out_shape=(jax.ShapeDtypeStruct((3, sz, sy, sx), jnp.float32),
+                   jax.ShapeDtypeStruct((3, sz, sy, sx), jnp.float32),
+                   jax.ShapeDtypeStruct((sz, sy, sx), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((9, sy, sx), jnp.float32),
+                        pltpu.VMEM((9, sy, sx), jnp.float32),
+                        pltpu.VMEM((3, sy, sx), jnp.float32)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(occ, resh(bk.px), resh(bk.py), resh(bk.pz), resh(bk.vx), resh(bk.vy),
+      resh(bk.vz), resh(bk.valid.astype(jnp.float32)))
+    weight_st = jnp.where(wacc < 1e-6, 0.0, wacc)
+    vel = jnp.where(weight_st > 0, acc / jnp.maximum(weight_st, 1e-30), 0.0)
+    phi = jnp.where(d2min >= _BIG, radius,
+                    jnp.sqrt(jnp.maximum(d2min, 0.0)) - radius)
+    phi = jnp.minimum(phi, radius)
+    phi = jnp.where(interior_mask(dom, 1), phi, 0.5)
+    return vel, weight_st, phi

@@ -420,3 +420,16 @@ def test_pallas_kernels_with_interior_obstacle():
     for f in ("px", "py", "pz"):
         np.testing.assert_allclose(np.asarray(getattr(ref, f)),
                                    np.asarray(getattr(got, f)), atol=1e-6)
+
+
+def test_fused_p2g_union_matches_separate(corner24):
+    """p2g_union_pallas == (p2g_mac, union_levelset_bucketed) pair."""
+    from mantaflow_tpu.ops import flip_bucket_pallas2 as fbp2
+    dom, flags, bk, vel = corner24
+    v_ref, w_ref = fb.p2g_mac(bk, dom)
+    phi_ref = fb.union_levelset_bucketed(bk, dom, 1.0)
+    v, w, phi = fbp2.p2g_union_pallas(bk, dom, 1.0, interpret=True)
+    np.testing.assert_allclose(np.asarray(v_ref), np.asarray(v), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(w_ref), np.asarray(w), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(phi_ref), np.asarray(phi),
+                               atol=2e-5)

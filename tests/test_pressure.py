@@ -96,7 +96,11 @@ def test_mg_prebuilt_hierarchy_matches_rebuild():
 def test_auto_mg_at_tight_tolerance(monkeypatch):
     """Out-of-the-box tight-tolerance solves select the MG-accelerated path
     (reference parity: solvePressure defaults to a preconditioned solve,
-    pressure.cpp:404-434) without a hand-set preconditioner flag."""
+    pressure.cpp:404-434) without a hand-set preconditioner flag. The
+    production size gate (>=96, where MG wins and plain-CG budgets balloon)
+    is lowered via MANTA_AUTO_MG_MIN_SIZE so the selection logic runs on a
+    test-sized grid."""
+    monkeypatch.setenv("MANTA_AUTO_MG_MIN_SIZE", "16")
     dom, flags, vel = _setup()
     # default call at 1e-4 == explicit PcMGDynamic call, bit for bit
     v_auto, p_auto, _, it_auto, rn_auto = prs.solve_pressure(
