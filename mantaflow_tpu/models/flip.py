@@ -214,7 +214,14 @@ def make_dam_state_bucketed(dom: Domain, params: FlipParams,
                             discretization: int = 2,
                             randomness: float = 0.05,
                             boundary_width: int = 0, dt: float = 0.5,
-                            obstacle=None, ppc: int = 12) -> FlipBucketState:
+                            obstacle=None, ppc: int = 10) -> FlipBucketState:
+    """ppc=10: discretization-2 sampling fills cells with exactly 8
+    (sampling jitter never leaves the birth cell), so 10 leaves 2 slots of
+    migration headroom; every bucket kernel's cost scales with PPC (12->10
+    measured +13% step rate at 64^3). When the dam piles up against a wall
+    (~step 30) the flip_step_bucketed_auto driver escalates PPC — the
+    production overflow contract; bin_from_particles/rebin surface any
+    drop in ``buckets.dropped``."""
     if params.ring_only_obstacles and obstacle is not None:
         raise ValueError("ring_only_obstacles promises no interior "
                          "obstacles; stamping an obstacle shape breaks the "
