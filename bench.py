@@ -39,7 +39,12 @@ def _flip_setup(mode, dom, params):
         step = jax.jit(lambda s: flip.flip_step(s, dom, params))
         n_parts = int(state.parts.capacity)
     else:
-        state = flip.make_dam_state_bucketed(dom, params, discretization=2)
+        # 128^3: start at PPC=12 so the developed-state warmup stays
+        # below the escalation threshold (a mid-bench PPC escalation
+        # recompiles the whole 128^3 step — minutes of extra wall time)
+        ppc = 12 if max(dom.size) >= 128 else 10
+        state = flip.make_dam_state_bucketed(dom, params, discretization=2,
+                                             ppc=ppc)
         step = jax.jit(lambda s: flip.flip_step_bucketed(s, dom, params))
         n_parts = int(state.buckets.count())
     return state, step, n_parts
