@@ -30,6 +30,11 @@ def main(argv=None):
     p.add_argument("--resolution", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--datasets_path", default="./datasets")
+    p.add_argument("--obstacles", action="store_true",
+                   help="stamp a random interior obstacle per sim "
+                        "(mantaGen randomized-scene parity)")
+    p.add_argument("--noise_inflow", action="store_true",
+                   help="smoke: wavelet-noise-modulated source emission")
     args = p.parse_args(argv)
 
     from . import datagen
@@ -40,13 +45,14 @@ def main(argv=None):
         datagen.generate_smoke_dataset(
             out, num_sims=args.num_scenes, num_frames=args.simulation_steps,
             res=args.resolution, steps_per_frame=args.steps_per_frame,
-            seed=args.seed)
+            seed=args.seed, obstacles=args.obstacles,
+            noise_inflow=args.noise_inflow or args.type == "smoke_buoyant")
         fields = ["density", "vel", "pressure"]
     else:
         datagen.generate_flip_dataset(
             out, num_sims=args.num_scenes, num_frames=args.simulation_steps,
             res=args.resolution, steps_per_frame=args.steps_per_frame,
-            seed=args.seed)
+            seed=args.seed, obstacles=args.obstacles)
         fields = ["phi", "vel", "pressure", "parts", "pvel"]
 
     with open(os.path.join(out, "description.json"), "w") as f:
