@@ -417,3 +417,47 @@ def flip_step_bucketed_auto(state: FlipBucketState, dom: Domain,
                 "use the flat layout")
         prev = _dc.replace(prev,
                            buckets=fb.rebin_to_ppc(prev.buckets, dom, ppc))
+
+
+@functools.lru_cache(maxsize=16)
+def _jitted_bucket_run(dom: Domain, params: FlipParams, n_steps: int):
+    def run(state):
+        def body(s, _):
+            return flip_step_bucketed(s, dom, params), None
+
+        state2, _ = jax.lax.scan(body, state, None, length=n_steps)
+        return state2
+
+    return jax.jit(run)
+
+
+def flip_run_bucketed_auto(state: FlipBucketState, dom: Domain,
+                           params: FlipParams, n_steps: int,
+                           check_every: int = 8, ppc_step: int = 4,
+                           max_ppc: int = 48) -> FlipBucketState:
+    """Chunked overflow-safe runner: lax.scan ``check_every`` steps per
+    device program, inspect ``buckets.dropped`` once per chunk, and on
+    overflow rebin the PRE-chunk state at a higher PPC and redo the chunk
+    (flip_step_bucketed_auto's contract with one host sync per chunk
+    instead of per step — the per-step driver spends most of its wall
+    time on sync at >100 steps/s)."""
+    import dataclasses as _dc
+    done = 0
+    while done < n_steps:
+        k = min(check_every, n_steps - done)
+        new = _jitted_bucket_run(dom, params, k)(state)
+        d = int(new.buckets.dropped) - int(state.buckets.dropped)
+        if d == 0:
+            state = new
+            done += k
+            continue
+        ppc = max(state.buckets.ppc + ppc_step,
+                  fb.max_cell_occupancy(state.buckets, dom))
+        if ppc > max_ppc:
+            raise RuntimeError(
+                f"flip_run_bucketed_auto: still dropping {d} particles at "
+                f"ppc={state.buckets.ppc} (needs {ppc}); raise max_ppc or "
+                "use the flat layout")
+        state = _dc.replace(state,
+                            buckets=fb.rebin_to_ppc(state.buckets, dom, ppc))
+    return state

@@ -67,3 +67,34 @@ def test_auto_step_conserves_on_overflow():
     auto = flip.flip_step_bucketed_auto(auto, dom, params)
     assert int(auto.buckets.dropped) == 0
     assert int(auto.buckets.count()) == n0
+
+
+def test_chunked_runner_matches_stepwise_and_conserves():
+    """flip_run_bucketed_auto == N stepwise auto steps (no-overflow case),
+    and conserves particles through a forced overflow."""
+    dom, params, st = _tiny_dam(ppc=12)
+    n0 = int(st.buckets.count())
+    ref = st
+    for _ in range(5):
+        ref = flip.flip_step_bucketed_auto(ref, dom, params)
+    out = flip.flip_run_bucketed_auto(st, dom, params, 5, check_every=2)
+    assert int(out.buckets.dropped) == 0
+    np.testing.assert_array_equal(np.asarray(ref.vel), np.asarray(out.vel))
+    np.testing.assert_array_equal(np.asarray(ref.buckets.px),
+                                  np.asarray(out.buckets.px))
+
+    # overflow path: tiny ppc forces escalation inside a chunk
+    dom2, params2, st2 = _tiny_dam(ppc=8)
+    n2 = int(st2.buckets.count())
+    valid = np.asarray(st2.buckets.valid)
+    full = valid.all(axis=0)
+    t0 = next(t for t in np.nonzero(full)[0]
+              if t + 1 < full.size and full[t + 1])
+    px = np.array(st2.buckets.px)
+    px[:, t0] += 1.0
+    st2 = dataclasses.replace(
+        st2, buckets=dataclasses.replace(st2.buckets, px=np.asarray(px)))
+    out2 = flip.flip_run_bucketed_auto(st2, dom2, params2, 4, check_every=4)
+    assert int(out2.buckets.dropped) == 0
+    assert int(out2.buckets.count()) == n2
+    assert out2.buckets.ppc > 8
