@@ -26,3 +26,35 @@ os.makedirs(_cache_dir, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+
+# ---------------------------------------------------------------------------
+# Test tiers (SURVEY §4 / VERDICT r4 weak #7): the full 200+ case suite
+# needs ~1 h on a 1-core host (golden matrix + sharded-mesh XLA compiles).
+# Modules/cases below are auto-marked `slow`; `pytest -m "not slow"` is the
+# <5-min smoke tier and still covers every op module at reduced sizes.
+import pytest  # noqa: E402
+
+_SLOW_MODULES = {
+    "test_ref_goldens",        # 37-scene reference-binary golden matrix
+    "test_golden_regression",  # two-tier golden harness over testdata
+    "test_scenes_run",         # 26 end-to-end scene scripts
+    "test_flip_sharded",       # 8-device mesh compiles (minutes on 1 core)
+    "test_ml",                 # worked ML examples end-to-end
+    "test_mlflip",             # ML-FLIP train+infer loop
+    "test_flip_bucket_auto",   # PPC escalation drivers (many recompiles)
+    "test_zflip",              # fork method loops end-to-end
+}
+_SLOW_NAME_PARTS = (
+    "with_obstacle",           # bucketed-vs-flat obstacle equality (~9 min)
+    "interior_obstacle",
+    "sharded",                 # any sharded-mesh case outside its module
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in _SLOW_MODULES or any(p in item.name
+                                       for p in _SLOW_NAME_PARTS):
+            item.add_marker(pytest.mark.slow)
