@@ -361,6 +361,69 @@ class MACGrid(Vec3Grid):
         g.data = macops.get_centered(self.data)
         return g
 
+    def setBoundMAC(self, value, boundaryWidth: int, normalOnly=False):
+        """MACGrid::setBoundMAC (grid.h:290, knSetBoundaryMAC /
+        knSetBoundaryMACNorm grid.cpp:672-686): Dirichlet on a w-cell
+        boundary shell, respecting staggered face locations."""
+        sz, sy, sx = self.dom.shape
+        w = int(boundaryWidth)
+        i = jnp.arange(sx).reshape(1, 1, sx)
+        j = jnp.arange(sy).reshape(1, sy, 1)
+        k = jnp.arange(sz).reshape(sz, 1, 1)
+        is3d = self.dom.is3d
+        v = jnp.asarray(tuple(value), jnp.float32)
+        if normalOnly:
+            mx = (i <= w) | (i >= sx - w)
+            my = (j <= w) | (j >= sy - w)
+            mz = ((k <= w) | (k >= sz - w)) if is3d \
+                else jnp.zeros((sz, 1, 1), bool)
+        else:
+            zb = ((k <= w - 1) | (k >= sz - 1 - w)) if is3d \
+                else jnp.zeros((sz, 1, 1), bool)
+            mx = ((i <= w) | (i >= sx - w)
+                  | (j <= w - 1) | (j >= sy - 1 - w) | zb)
+            my = ((i <= w - 1) | (i >= sx - 1 - w)
+                  | (j <= w) | (j >= sy - w) | zb)
+            mz = ((i <= w - 1) | (i >= sx - 1 - w)
+                  | (j <= w - 1) | (j >= sy - 1 - w)
+                  | ((k <= w) | (k >= sz - w))) if is3d \
+                else jnp.zeros((sz, 1, 1), bool)
+        d = self.data
+        self.data = jnp.stack([
+            jnp.where(mx, v[0], d[0]),
+            jnp.where(my, v[1], d[1]),
+            jnp.where(mz, v[2], d[2]) if (is3d or not normalOnly)
+            else d[2]])
+
+    def set_bound_MAC2(self, value, boundaryWidth: int):
+        """Fork MACGrid::set_bound_MAC2 (grid.h:292, kn_set_bound_MAC2
+        grid.cpp:695-714): like setBoundMAC but with one extra low-side
+        layer on each component's own axis (wall faces of boundary
+        cells). Used by zflip's moving obstacle to zero the obstacle
+        velocity grid at the domain walls (zflip.py:765)."""
+        sz, sy, sx = self.dom.shape
+        w = int(boundaryWidth)
+        i = jnp.arange(sx).reshape(1, 1, sx)
+        j = jnp.arange(sy).reshape(1, sy, 1)
+        k = jnp.arange(sz).reshape(sz, 1, 1)
+        is3d = self.dom.is3d
+        v = jnp.asarray(tuple(value), jnp.float32)
+        zb = ((k <= w) | (k >= sz - 1 - w)) if is3d \
+            else jnp.zeros((sz, 1, 1), bool)
+        mx = ((i <= w + 1) | (i >= sx - 1 - w)
+              | (j <= w) | (j >= sy - 1 - w) | zb)
+        my = ((i <= w) | (i >= sx - 1 - w)
+              | (j <= w + 1) | (j >= sy - 1 - w) | zb)
+        mz = ((i <= w) | (i >= sx - 1 - w)
+              | (j <= w) | (j >= sy - 1 - w)
+              | ((k <= w + 1) | (k >= sz - 1 - w))) if is3d \
+            else jnp.zeros((sz, 1, 1), bool)
+        d = self.data
+        self.data = jnp.stack([
+            jnp.where(mx, v[0], d[0]),
+            jnp.where(my, v[1], d[1]),
+            jnp.where(mz, v[2], d[2]) if is3d else d[2]])
+
 
 class LevelsetGrid(RealGrid):
     def __init__(self, solver=None, name: str = "", parent=None):

@@ -10,7 +10,12 @@ are dropped; the contract kept is: methods list -> one zflip run each,
 per-run log file, graceful-exit check, nonzero exit on failure.
 
 Usage:
-    python scenes/run.py [out_dir] [frames] [res]
+    python scenes/run.py [out_dir] [frames] [res] [obstacle] [mesh]
+
+obstacle (default 1=moving; 0=none, 2=static) and mesh (default 1 =
+per-frame upres .bobj.gz surfaces next to each run's log) are forwarded
+to zflip.py — the flagship configuration of the reference scene
+(zflip.py:255-262 b_fluid_mesh/bSaveMesh defaults, moving obstacle).
 
 Method indices match run.py:10-13 / zflip.py: 0=FLIP, 1=FIXED_VOL,
 2=CORRECT19 (DE_GOES22 / MATLAB_FLIP are not shipped by the fork's binary
@@ -24,21 +29,21 @@ from pathlib import Path
 
 #   0       1          2
 # FLIP, FIXED_VOL, CORRECT19   (reference run.py:10-13)
-methods = [1]
-# methods = [0, 1]
-# methods = [0, 2, 1]
+methods = [0, 2, 1]   # all shipped methods (reference default is [1])
 
 HERE = Path(__file__).resolve().parent
 script = HERE / "zflip.py"
 
 
-def run(method: int, out_dir: Path, frames: int, res: int) -> bool:
+def run(method: int, out_dir: Path, frames: int, res: int,
+        obstacle: int = 1, mesh: int = 1) -> bool:
     """One zflip run; returns True if it ended gracefully (exit 0 AND the
     teed log holds zflip's final summary line — the tee itself creates the
     file, so mere existence can't signal a graceful exit)."""
     out_dir.mkdir(parents=True, exist_ok=True)
     log = out_dir / "_log.txt"   # reference: _log.ans (ANSI tee)
-    cmd = [sys.executable, str(script), str(method), str(frames), str(res)]
+    cmd = [sys.executable, str(script), str(method), str(frames), str(res),
+           str(obstacle), str(mesh)]
     print(" ".join(cmd))
     with open(log, "w") as f:
         # cwd=out_dir so any files zflip grows later land next to its log
@@ -58,6 +63,8 @@ def main() -> int:
     out_root = Path(sys.argv[1] if len(sys.argv) > 1 else HERE / "out")
     frames = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     res = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    obstacle = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    mesh = int(sys.argv[5]) if len(sys.argv) > 5 else 1
 
     names = {0: "flip", 1: "fixed_vol", 2: "correct19"}
 
@@ -75,7 +82,7 @@ def main() -> int:
                 print(f"leaving unrecognized entry alone: '{path}'")
     for method in methods:
         out_dir = out_root / f"{method}_{names.get(method, 'method')}"
-        ok = run(method, out_dir, frames, res)
+        ok = run(method, out_dir, frames, res, obstacle, mesh)
         log = out_dir / "_log.txt"
         if not ok or not log.exists():
             print(f"log doesn't exist or run failed (premature exit): "

@@ -41,3 +41,55 @@ def test_zflip_volume_ordering():
     # all methods stay stable (no blowup/vanishing)
     for m, vols in runs.items():
         assert min(vols) > 0.3 * vol0 and max(vols) < 3 * vol0
+
+
+def test_zflip_flagship_obstacle_mesh(tmp_path):
+    """Round-5 flagship composition (VERDICT r4 item 5): each method runs
+    with the moving obstacle + per-frame upres mesh generation
+    (reference zflip.py:96-160 moving_obstacle, :181-251 mesh_generator),
+    and the static-obstacle variant runs too."""
+    from zflip import (CORRECT19, FIXED_VOL, FLIP, OBS_MOVING, OBS_STATIC,
+                       run_zflip)
+    for m in (FLIP, FIXED_VOL, CORRECT19):
+        vols = run_zflip(m, frames=2, res=20, verbose=False,
+                         obstacle=OBS_MOVING, gen_mesh=True,
+                         out_dir=str(tmp_path), mesh_every=2)
+        assert len(vols) == 2 and vols[-1] > 0
+        meshes = list(tmp_path.glob("surface_*.bobj.gz"))
+        assert meshes, "upres mesh generator must write .bobj.gz"
+        for f in meshes:
+            f.unlink()
+    vols = run_zflip(FLIP, frames=2, res=20, verbose=False,
+                     obstacle=OBS_STATIC)
+    assert len(vols) == 2 and vols[-1] > 0
+
+
+def test_set_bound_MAC2_semantics():
+    """kn_set_bound_MAC2 (grid.cpp:695-714) vs a direct per-cell numpy
+    transcription of the kernel's conditions."""
+    from mantaflow_tpu import Solver, MACGrid, vec3
+    rng = np.random.default_rng(3)
+    s = Solver(name='t', gridSize=vec3(9, 7, 8))
+    v = s.create(MACGrid)
+    data = rng.normal(size=v.data.shape).astype(np.float32)
+    v.from_numpy(data)
+    w = 1
+    v.set_bound_MAC2(value=vec3(0, 0, 0), boundaryWidth=w)
+    out = np.asarray(v.data)
+    sz, sy, sx = 8, 7, 9
+    exp = data.copy().reshape(3, sz, sy, sx)
+    for k in range(sz):
+        for j in range(sy):
+            for i in range(sx):
+                zb = k <= w or k >= sz - 1 - w
+                if (i <= w + 1 or i >= sx - 1 - w or j <= w
+                        or j >= sy - 1 - w or zb):
+                    exp[0, k, j, i] = 0
+                if (i <= w or i >= sx - 1 - w or j <= w + 1
+                        or j >= sy - 1 - w or zb):
+                    exp[1, k, j, i] = 0
+                if (i <= w or i >= sx - 1 - w or j <= w
+                        or j >= sy - 1 - w or k <= w + 1
+                        or k >= sz - 1 - w):
+                    exp[2, k, j, i] = 0
+    assert np.array_equal(out.reshape(3, sz, sy, sx), exp)
