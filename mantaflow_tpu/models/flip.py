@@ -274,19 +274,27 @@ def flip_step_bucketed(state: FlipBucketState, dom: Domain,
     on_tpu = jax.default_backend() == "tpu"
     pending = state.blend_pending
     if zshard is not None:
-        # multi-chip: the fused advect+blend runs as the z-sharded Pallas
-        # kernel with explicit ppermute halos (SURVEY §2.16); the rest of
-        # the step stays on the GSPMD-partitioned XLA forms
+        # multi-chip: ALL hot particle stages run as the z-sharded Pallas
+        # kernels with explicit ppermute halos (SURVEY §2.16 cell-block
+        # sharding) — the same kernels the single-chip fast path rides
         from ..ops import flip_bucket_pallas as fbp
+        from ..ops import flip_bucket_pallas2 as fbp2
         mesh, axis = zshard
         bk = fbp.advect_blend_zshard_spmd(
             bk, flags, vel, state.vel_old, dt, pending, params.flip_ratio,
             dom, mesh, axis_name=axis,
             integration_mode=params.integration_mode,
             stop_in_obstacle=True, ring_only=params.ring_only_obstacles)
-        bk = fb.rebin(bk, dom)
-        vel, weight = fb.p2g_mac(bk, dom)
-        phi_fused = None
+        bk = fbp.rebin_zshard_spmd(bk, dom, mesh, axis_name=axis)
+        import math as _math
+        rw1 = int(0.5 * _math.sqrt(3.0) * (params.radius_factor + 0.01)) \
+            + 1 == 1
+        if params.ghost_fluid and rw1:
+            vel, weight, phi_fused = fbp2.p2g_union_zshard_spmd(
+                bk, dom, params.radius_factor, mesh, axis_name=axis)
+        else:
+            vel, weight = fb.p2g_mac(bk, dom)
+            phi_fused = None
     elif on_tpu:
         from ..ops import flip_bucket_pallas as fbp
         from ..ops import flip_bucket_pallas2 as fbp2

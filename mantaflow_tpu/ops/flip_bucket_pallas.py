@@ -378,11 +378,15 @@ def _rebin_pass_tile(ins, outs, *, pos_idx, n_axis, ppc, ax):
     outs[6][...] = new_valid.astype(jnp.float32)
 
 
-def _park_invalid(outs, new_valid, dom):
+def _park_invalid(outs, new_valid, dom, z_base=None):
     """Host-side (XLA) fixup: park invalid slots at cell centers with zero
-    velocity (matches flip_bucket._rebin_axis)."""
+    velocity (matches flip_bucket._rebin_axis). Under z-slab sharding
+    ``dom`` is the local slab and ``z_base`` its global z offset — parked
+    z centers must stay GLOBAL coordinates."""
     from .flip_bucket import _cell_centers
     ccx, ccy, ccz = _cell_centers(dom)
+    if z_base is not None:
+        ccz = ccz + jnp.asarray(z_base, jnp.float32)
     centers = (ccx, ccy, ccz)
     fixed = []
     for fi in range(3):
@@ -455,7 +459,8 @@ def _axis_movers(bk, dom: Domain, axis: int):
     return bk.valid & (e != 0)
 
 
-def _rebin_axis_pallas(bk, dom: Domain, axis: int, interpret: bool = False):
+def _rebin_axis_pallas(bk, dom: Domain, axis: int, interpret: bool = False,
+                       z_base=None):
     """One rebin axis pass, natural (P, z, y, x) layout throughout —
     x/y passes compact in-block along their axis; the z pass streams three
     overlapping z-plane windows. (Round 3 transposed the y/z passes into
@@ -513,7 +518,7 @@ def _rebin_axis_pallas(bk, dom: Domain, axis: int, interpret: bool = False):
                     vmem_limit_bytes=100 * 1024 * 1024),
                 interpret=interpret,
             )(occ, *ins)
-            return _finish_pass(bk, outs, dom)
+            return _finish_pass(bk, outs, dom, z_base)
 
         return jax.lax.cond(jnp.any(mz), run_pass, lambda b: b, bk)
 
@@ -557,18 +562,18 @@ def _rebin_axis_pallas(bk, dom: Domain, axis: int, interpret: bool = False):
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(occ, *ins)
-        return _finish_pass(bk, outs, dom)
+        return _finish_pass(bk, outs, dom, z_base)
 
     # whole-pass skip: nothing moves along this axis (calm/early states)
     return jax.lax.cond(jnp.any(movers), run_pass, lambda b: b, bk)
 
 
-def _finish_pass(bk, outs, dom: Domain):
+def _finish_pass(bk, outs, dom: Domain, z_base=None):
     """Flatten pass outputs, park invalid slots, account drops."""
     P, T = bk.ppc, bk.ncells
     flat = [o.reshape(P, T) for o in outs[:6]]
     new_valid = outs[6].reshape(P, T) > 0.5
-    flat = _park_invalid(flat, new_valid, dom)
+    flat = _park_invalid(flat, new_valid, dom, z_base)
     total = jnp.sum(bk.valid.astype(jnp.int32))
     dropped = bk.dropped + (
         total - jnp.sum(new_valid.astype(jnp.int32))).astype(jnp.int32)
@@ -1005,3 +1010,158 @@ def advect_blend_zshard_spmd(bk, flags, vel, vel_old, dt, pending,
         jnp.asarray(dt, jnp.float32), jnp.asarray(pending, jnp.float32))
     return dataclasses.replace(bk, px=npx, py=npy, pz=npz, vx=nvx, vy=nvy,
                                vz=nvz)
+
+
+def _rebin_zpass_kernel_sh(sc_ref, occ_ref, *refs, ppc, sz_global):
+    """Sharded z rebin pass over halo-extended input: ins are 7 fields x 3
+    planes of the (P, lz+2, sy, sx) extended arrays at ext indices t+2,
+    t+1, t (global zb+t+1, zb+t, zb+t-1); output plane t is global zb+t.
+    Same candidate semantics as _rebin_zpass_kernel with global plane
+    indices for the border force-stay tests."""
+    ins = refs[:21]
+    outs = refs[21:]
+    t = pl.program_id(0)
+    P = ppc
+    tg = t + sc_ref[0]                           # global output plane
+
+    def plane(fi, g):        # g: 0 = global t+1, 1 = t, 2 = t-1
+        return ins[fi * 3 + g][:, 0]
+
+    @pl.when(occ_ref[t] == 0)
+    def _skip():
+        for fi in range(7):
+            outs[fi][:, 0] = plane(fi, 1)
+
+    @pl.when(occ_ref[t] > 0)
+    def _compute():
+        blk = plane(0, 1).shape                  # (P, sy, sx)
+        ok_hi = (tg < sz_global - 1).astype(jnp.int32)
+        ok_lo = (tg > 0).astype(jnp.int32)
+        sels, cands = [], [[] for _ in range(6)]
+        for d, g, ok in ((-1, 0, ok_hi), (0, 1, 1), (1, 2, ok_lo)):
+            s = tg - d                           # global source plane
+            pz = plane(2, g)
+            valid = plane(6, g) > 0.5
+            e = jnp.clip(pz.astype(jnp.int32) - s, -1, 1)
+            tgt = s + e
+            e = jnp.where((tgt < 0) | (tgt >= sz_global), 0, e)
+            sel = jnp.where(valid, (e == d).astype(jnp.int32), 0) * ok
+            sels.append(sel)
+            for fi in range(6):
+                cands[fi].append(plane(fi, g))
+        mark = jnp.concatenate(sels, axis=0)
+        cand = [jnp.concatenate(c, axis=0) for c in cands]
+        cand, total = _ranked_deliver(cand, mark, P)
+        sidx = jax.lax.broadcasted_iota(jnp.int32, (P,) + blk[1:], 0)
+        for fi in range(6):
+            outs[fi][:, 0] = cand[fi][:P]
+        outs[6][:, 0] = (sidx < total).astype(jnp.float32)
+
+
+def _rebin_z_sharded(bk, local_dom: Domain, zb, sz_global: int,
+                     axis_name: str, n: int, interpret: bool):
+    """z rebin pass for one z-slab shard: +-1-plane halos of all seven
+    bucket fields from the mesh neighbors (lax.ppermute over ICI), then
+    the local 3-plane streaming kernel with global plane offsets."""
+    lz, sy, sx = local_dom.shape
+    P, T = bk.ppc, bk.ncells
+
+    def resh(a):
+        return a.reshape(P, lz, sy, sx)
+
+    fields = [resh(bk.px), resh(bk.py), resh(bk.pz), resh(bk.vx),
+              resh(bk.vy), resh(bk.vz),
+              resh(bk.valid.astype(jnp.float32))]
+    ext = [_halo_z(f, 1, axis_name, n, 1) for f in fields]
+
+    # movers per EXTENDED plane (global coords): occupancy for output
+    # plane t needs movers in global planes t-1..t+1 — exactly ext t..t+2
+    pzi = ext[2].astype(jnp.int32)
+    validb = ext[6] > 0.5
+    pidx = (jnp.arange(lz + 2, dtype=jnp.int32)[None, :, None, None]
+            + jnp.asarray(zb, jnp.int32) - 1)
+    e = jnp.clip(pzi - pidx, -1, 1)
+    tgt = pidx + e
+    e = jnp.where((tgt < 0) | (tgt >= sz_global), 0, e)
+    movers = validb & (e != 0)
+    mz_ext = jnp.any(movers, axis=(0, 2, 3))            # (lz+2,)
+    occ = (mz_ext[:-2] | mz_ext[1:-1] | mz_ext[2:]).astype(jnp.int32)
+
+    def run_pass(bk):
+        def zspec(g):        # g: 0 = ext t+2, 1 = t+1, 2 = t
+            return pl.BlockSpec((P, 1, sy, sx),
+                                lambda t, g=g: (0, t + 2 - g, 0, 0),
+                                memory_space=pltpu.VMEM)
+
+        ins, specs = [], [pl.BlockSpec(memory_space=pltpu.SMEM),
+                          pl.BlockSpec(memory_space=pltpu.SMEM)]
+        for f in ext:
+            for g in (0, 1, 2):
+                ins.append(f)
+                specs.append(zspec(g))
+        ospec = pl.BlockSpec((P, 1, sy, sx), lambda t: (0, t, 0, 0),
+                             memory_space=pltpu.VMEM)
+        kern = functools.partial(_rebin_zpass_kernel_sh, ppc=P,
+                                 sz_global=sz_global)
+        sc = jnp.asarray(zb, jnp.int32).reshape(1)
+        outs = pl.pallas_call(
+            kern,
+            grid=(lz,),
+            in_specs=specs,
+            out_specs=tuple([ospec] * 7),
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((P, lz, sy, sx), jnp.float32)
+                for _ in range(7)),
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(sc, occ, *ins)
+        return _finish_pass(bk, outs, local_dom, z_base=zb)
+
+    return jax.lax.cond(jnp.any(occ > 0), run_pass, lambda b: b, bk)
+
+
+def rebin_zshard_spmd(bk, dom: Domain, mesh, axis_name: str = "z"):
+    """Full rebin under z-slab sharding (drop-in for flip_bucket.rebin on
+    a sharded FlipBucketState): the x/y passes are purely in-plane, so the
+    single-chip Pallas passes run unchanged on each local slab; the z pass
+    exchanges +-1-plane field halos over ICI (_rebin_z_sharded). Per-shard
+    drop counts are psum'd. Matches SURVEY §2.16 cell-block particle
+    sharding."""
+    import dataclasses
+
+    from jax.sharding import PartitionSpec as P
+
+    sz, sy, sx = dom.shape
+    n = int(mesh.shape[axis_name])
+    if sz % n != 0:
+        raise ValueError(f"z extent {sz} not divisible by mesh axis {n}")
+    lz = sz // n
+    local_dom = Domain(size=(sx, sy, lz), dim=3)
+    interpret = jax.default_backend() != "tpu"
+
+    def body(px, py, pz, vx, vy, vz, validf):
+        from .flip_bucket import Buckets
+        zb = jax.lax.axis_index(axis_name) * lz
+        bk_l = Buckets(px=px, py=py, pz=pz, vx=vx, vy=vy, vz=vz,
+                       valid=validf > 0.5, dropped=jnp.int32(0))
+        bk_l = _rebin_axis_pallas(bk_l, local_dom, 0, interpret, z_base=zb)
+        bk_l = _rebin_axis_pallas(bk_l, local_dom, 1, interpret, z_base=zb)
+        bk_l = _rebin_z_sharded(bk_l, local_dom, zb, sz, axis_name, n,
+                                interpret)
+        dropped = jax.lax.psum(bk_l.dropped, axis_name)
+        return (bk_l.px, bk_l.py, bk_l.pz, bk_l.vx, bk_l.vy, bk_l.vz,
+                bk_l.valid.astype(jnp.float32), dropped)
+
+    bspec = P(None, axis_name)
+    f = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(bspec,) * 7,
+        out_specs=(bspec,) * 7 + (P(),),
+        check_vma=False)
+    npx, npy, npz, nvx, nvy, nvz, nvalid, ndrop = f(
+        bk.px, bk.py, bk.pz, bk.vx, bk.vy, bk.vz,
+        bk.valid.astype(jnp.float32))
+    return dataclasses.replace(bk, px=npx, py=npy, pz=npz, vx=nvx, vy=nvy,
+                               vz=nvz, valid=nvalid > 0.5,
+                               dropped=bk.dropped + ndrop)

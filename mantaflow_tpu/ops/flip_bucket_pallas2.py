@@ -182,8 +182,8 @@ def p2g_mac_pallas(bk, dom: Domain, interpret: bool = False):
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(occ, resh(bk.px), resh(bk.py), resh(bk.pz), resh(bk.vx), resh(bk.vy),
-      resh(bk.vz), resh(bk.valid.astype(jnp.float32)))
+    )(occ, resh(bk.px), resh(bk.py), resh(bk.pz), resh(bk.vx),
+      resh(bk.vy), resh(bk.vz), resh(bk.valid.astype(jnp.float32)))
     weight_st = jnp.where(wacc < 1e-6, 0.0, wacc)
     vel = jnp.where(weight_st > 0, acc / jnp.maximum(weight_st, 1e-30), 0.0)
     return vel, weight_st
@@ -404,12 +404,19 @@ def flip_update_pallas(bk, vel, vel_old, flip_ratio: float, dom: Domain,
 # position loads and iotas (the levelset only adds its min-scatter taps)
 
 
-def _p2g_ls_kernel(occ_ref, px_ref, py_ref, pz_ref, vx_ref, vy_ref, vz_ref,
-                   val_ref, oacc_ref, owacc_ref, od2_ref, acc_ref, wacc_ref,
-                   d2_ref, *, shape, ppc, yb):
+def _p2g_ls_kernel(sc_ref, occ_ref, px_ref, py_ref, pz_ref, vx_ref, vy_ref,
+                   vz_ref, val_ref, oacc_ref, owacc_ref, od2_ref, acc_ref,
+                   wacc_ref, d2_ref, *, shape, ppc, yb, sz_global=None):
+    """sc_ref (SMEM, (1,) int32): global z index of local plane 0 — the
+    sharded wrapper passes its slab offset (zb-1 for the halo-extended
+    array); particle coordinates are always global, the emission ring is
+    always local. Unsharded: zeros and sz_global == sz."""
     sz, sy, sx = shape
+    if sz_global is None:
+        sz_global = sz
     P = ppc
     t = pl.program_id(0)
+    tg = t + sc_ref[0]                    # global source plane
     big = jnp.float32(_BIG)
 
     @pl.when(t == 0)
@@ -439,13 +446,13 @@ def _p2g_ls_kernel(occ_ref, px_ref, py_ref, pz_ref, vx_ref, vy_ref, vz_ref,
                 ox, oy, oz = _MAC_SHIFTS[c]
                 bx, wx1 = _axw(px - ox, sx)
                 by, wy1 = _axw(py - oy, sy)
-                bz, wz1 = _axw(pz - oz, sz)
+                bz, wz1 = _axw(pz - oz, sz_global)
                 tx = _T0_OWN if c == 0 else _T0_CROSS
                 ty = _T0_OWN if c == 1 else _T0_CROSS
                 tz = _T0_OWN if c == 2 else _T0_CROSS
                 wx = _tapw(bx - cxi, wx1, tx)
                 wy = _tapw(by - cyi, wy1, ty)
-                wz = _tapw(bz - t, wz1, tz)
+                wz = _tapw(bz - tg, wz1, tz)
                 vc = pvel[c]
                 for iz, dz in enumerate(tz):
                     sl = dz + 1
@@ -470,7 +477,7 @@ def _p2g_ls_kernel(occ_ref, px_ref, py_ref, pz_ref, vx_ref, vy_ref, vz_ref,
             # --- union levelset (rw == 1) ---
             ex = jnp.where(valid, px - (cxi.astype(jnp.float32) + 0.5), 0.0)
             ey = jnp.where(valid, py - (cyi.astype(jnp.float32) + 0.5), 0.0)
-            ez = jnp.where(valid, pz - (t + 0.5), 0.0)
+            ez = jnp.where(valid, pz - (tg + 0.5), 0.0)
             r2 = ex * ex + ey * ey + ez * ez
             for dz in (-1, 0, 1):
                 sl = dz + 1
@@ -536,7 +543,7 @@ def p2g_union_pallas(bk, dom: Domain, radius_factor: float = 1.0,
     acc, wacc, d2min = pl.pallas_call(
         kern,
         grid=(sz + 1,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [slab] * 7,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 + [slab] * 7,
         out_specs=(outp, outp, outp1),
         out_shape=(jax.ShapeDtypeStruct((3, sz, sy, sx), jnp.float32),
                    jax.ShapeDtypeStruct((3, sz, sy, sx), jnp.float32),
@@ -547,8 +554,9 @@ def p2g_union_pallas(bk, dom: Domain, radius_factor: float = 1.0,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(occ, resh(bk.px), resh(bk.py), resh(bk.pz), resh(bk.vx), resh(bk.vy),
-      resh(bk.vz), resh(bk.valid.astype(jnp.float32)))
+    )(jnp.zeros((1,), jnp.int32), occ, resh(bk.px), resh(bk.py),
+      resh(bk.pz), resh(bk.vx), resh(bk.vy), resh(bk.vz),
+      resh(bk.valid.astype(jnp.float32)))
     weight_st = jnp.where(wacc < 1e-6, 0.0, wacc)
     vel = jnp.where(weight_st > 0, acc / jnp.maximum(weight_st, 1e-30), 0.0)
     phi = jnp.where(d2min >= _BIG, radius,
@@ -556,3 +564,104 @@ def p2g_union_pallas(bk, dom: Domain, radius_factor: float = 1.0,
     phi = jnp.minimum(phi, radius)
     phi = jnp.where(interior_mask(dom, 1), phi, 0.5)
     return vel, weight_st, phi
+
+
+def p2g_union_zshard_spmd(bk, dom: Domain, radius_factor: float,
+                          mesh, axis_name: str = "z"):
+    """Fused p2g + union levelset under z-slab sharding: each shard
+    exchanges +-1-plane halos of all seven bucket fields over ICI
+    (lax.ppermute), runs the local streaming scatter with its global z
+    offset, and keeps its own output planes. Returns global
+    (vel, stomped weight, phi) sharded like the inputs. Matches
+    p2g_union_pallas semantics exactly (the halo planes supply the
+    cross-slab tap contributions)."""
+    import math as _math
+
+    from jax.sharding import PartitionSpec as P
+
+    from .flip_bucket_pallas import _halo_z
+
+    sz, sy, sx = dom.shape
+    n = int(mesh.shape[axis_name])
+    if sz % n != 0:
+        raise ValueError(f"z extent {sz} not divisible by mesh axis {n}")
+    lz = sz // n
+    if lz < 2:
+        raise ValueError("z slab of 1 plane unsupported")
+    Pp = bk.ppc
+    radius = 0.5 * ((_math.sqrt(3.0) if dom.is3d else _math.sqrt(2.0))
+                    * (radius_factor + 0.01))
+    if int(radius) + 1 != 1:
+        raise ValueError("p2g_union supports rw == 1 radii only")
+    interpret = jax.default_backend() != "tpu"
+    lze = lz + 2
+
+    def body(px, py, pz, vx, vy, vz, validf):
+        zb = jax.lax.axis_index(axis_name) * lz
+
+        def resh(a):
+            return a.reshape(Pp, lz, sy, sx)
+
+        ext = [_halo_z(resh(a), 1, axis_name, n, 1)
+               for a in (px, py, pz, vx, vy, vz, validf)]
+        ext_dom = Domain(size=(sx, sy, lze), dim=3)
+        yb = _pick_yb(sy)
+        occ = jnp.pad(tile_occupancy(
+            (ext[6] > 0.5).reshape(Pp, lze * sy * sx), ext_dom, yb),
+            ((0, 1), (0, 0)))
+        slab = pl.BlockSpec((Pp, 1, sy, sx),
+                            lambda t: (0, jnp.minimum(t, lze - 1), 0, 0),
+                            memory_space=pltpu.VMEM)
+        outp = pl.BlockSpec((3, 1, sy, sx),
+                            lambda t: (0, jnp.maximum(t - 1, 0), 0, 0),
+                            memory_space=pltpu.VMEM)
+        outp1 = pl.BlockSpec((1, sy, sx),
+                             lambda t: (jnp.maximum(t - 1, 0), 0, 0),
+                             memory_space=pltpu.VMEM)
+        kern = functools.partial(_p2g_ls_kernel, shape=(lze, sy, sx),
+                                 ppc=Pp, yb=yb, sz_global=sz)
+        sc = (jnp.asarray(zb, jnp.int32) - 1).reshape(1)
+        acc, wacc, d2min = pl.pallas_call(
+            kern,
+            grid=(lze + 1,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+                     + [slab] * 7,
+            out_specs=(outp, outp, outp1),
+            out_shape=(jax.ShapeDtypeStruct((3, lze, sy, sx), jnp.float32),
+                       jax.ShapeDtypeStruct((3, lze, sy, sx), jnp.float32),
+                       jax.ShapeDtypeStruct((lze, sy, sx), jnp.float32)),
+            scratch_shapes=[pltpu.VMEM((9, sy, sx), jnp.float32),
+                            pltpu.VMEM((9, sy, sx), jnp.float32),
+                            pltpu.VMEM((3, sy, sx), jnp.float32)],
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(sc, occ, *ext)
+        acc = acc[:, 1:lz + 1]
+        wacc = wacc[:, 1:lz + 1]
+        d2min = d2min[1:lz + 1]
+        weight_st = jnp.where(wacc < 1e-6, 0.0, wacc)
+        vel = jnp.where(weight_st > 0,
+                        acc / jnp.maximum(weight_st, 1e-30), 0.0)
+        phi = jnp.where(d2min >= _BIG, radius,
+                        jnp.sqrt(jnp.maximum(d2min, 0.0)) - radius)
+        phi = jnp.minimum(phi, radius)
+        # interior_mask(dom, 1) with GLOBAL z indices
+        zi = jnp.arange(lz, dtype=jnp.int32) + zb
+        zin = (zi >= 1) & (zi <= sz - 2)
+        yi = jnp.arange(sy, dtype=jnp.int32)
+        xi = jnp.arange(sx, dtype=jnp.int32)
+        inner = (zin[:, None, None]
+                 & ((yi >= 1) & (yi <= sy - 2))[None, :, None]
+                 & ((xi >= 1) & (xi <= sx - 2))[None, None, :])
+        phi = jnp.where(inner, phi, 0.5)
+        return vel, weight_st, phi
+
+    bspec = P(None, axis_name)
+    f = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(bspec,) * 7,
+        out_specs=(P(None, axis_name), P(None, axis_name), P(axis_name)),
+        check_vma=False)
+    return f(bk.px, bk.py, bk.pz, bk.vx, bk.vy, bk.vz,
+             bk.valid.astype(jnp.float32))
