@@ -50,11 +50,31 @@ _SLOW_NAME_PARTS = (
     "interior_obstacle",
     "sharded",                 # any sharded-mesh case outside its module
 )
+# individually heavy cases (measured --durations on the 1-core host);
+# their modules keep at least one fast case each
+_SLOW_TESTS = {
+    "test_graft_entry",                          # 355 s (driver-gated too)
+    "test_multi_resolution_single_process",      # 46 s
+    "test_fused_advect_blend_matches_sequence",  # 44 s
+    "test_pallas_advect_rebin_match_xla",        # 41 s
+    "test_full_step_matches_flat",               # 34 s
+    "test_bucketed_guards",                      # 32 s
+    "test_whitewater_pipeline",                  # 31 s
+    "test_fast_smoke_model_close_to_faithful",   # 24 s
+    "test_particle_surface_turbulence",          # 22 s
+    "test_correct19_spreads_clumped_particles",  # 22 s
+    "test_finalize_buckets_closes_blend_lag",    # 20 s
+    "test_simpleplume_3d",                       # 18 s
+    "test_mg_converges_in_few_iterations",       # 16 s
+    "test_fused_p2g_union_matches_separate",     # 15 s
+    "test_interpol4d_roundtrip",                 # 15 s
+}
 
 
 def pytest_collection_modifyitems(config, items):
     for item in items:
         mod = item.module.__name__.rsplit(".", 1)[-1]
-        if mod in _SLOW_MODULES or any(p in item.name
-                                       for p in _SLOW_NAME_PARTS):
+        base = item.name.split("[")[0]
+        if (mod in _SLOW_MODULES or base in _SLOW_TESTS
+                or any(p in item.name for p in _SLOW_NAME_PARTS)):
             item.add_marker(pytest.mark.slow)
