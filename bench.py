@@ -39,12 +39,9 @@ def _flip_setup(mode, dom, params):
         step = jax.jit(lambda s: flip.flip_step(s, dom, params))
         n_parts = int(state.parts.capacity)
     else:
-        # 128^3: start at PPC=12 so the developed-state warmup stays
-        # below the escalation threshold (a mid-bench PPC escalation
-        # recompiles the whole 128^3 step — minutes of extra wall time)
-        ppc = 12 if max(dom.size) >= 128 else 10
-        state = flip.make_dam_state_bucketed(dom, params, discretization=2,
-                                             ppc=ppc)
+        # PPC start untuned (default capacity): the chunked overflow-safe
+        # runner below owns escalation — no protocol tuning to dodge it
+        state = flip.make_dam_state_bucketed(dom, params, discretization=2)
         step = jax.jit(lambda s: flip.flip_step_bucketed(s, dom, params))
         n_parts = int(state.buckets.count())
     return state, step, n_parts
@@ -131,27 +128,45 @@ def bench_flip(res=None, mode=None):
 
     # developed-state row (the cold start favors early CG exits; see
     # BASELINE.md): 30 more steps, then time n_steps again. The bucketed
-    # warmup runs through the overflow-safe auto driver — the dam piles up
-    # against the wall around step ~40 and PPC must escalate (the
-    # production mechanism, models/flip.py flip_step_bucketed_auto).
+    # path runs BOTH through the chunked overflow-safe runner
+    # (flip_run_bucketed_auto): n_steps-long lax.scan chunks with ONE host
+    # sync per chunk — no per-step dispatch overhead, and a PPC escalation
+    # (the dam piles up around step ~40) rebins and redoes the chunk
+    # instead of dropping particles. The warmup chunks use the same chunk
+    # length so the timed window reuses the compiled scan program.
     if os.environ.get("BENCH_DEVELOPED", "1") == "1":
         if mode == "bucket":
-            for _ in range(30):
-                state = flip.flip_step_bucketed_auto(state, dom, params)
-            step = flip._jitted_bucket_step(dom, params)
+            state = flip.flip_run_bucketed_auto(state, dom, params, 30,
+                                                check_every=n_steps)
+            # settle: a chunk that completes at an unchanged PPC proves the
+            # scan program for this PPC is compiled and no escalation is
+            # pending — the timed window measures steady state, not a
+            # recompile
+            for _ in range(3):
+                ppc_pre = state.buckets.ppc
+                state = flip.flip_run_bucketed_auto(state, dom, params,
+                                                    n_steps,
+                                                    check_every=n_steps)
+                if state.buckets.ppc == ppc_pre:
+                    break
+            t0 = time.perf_counter()
+            state = flip.flip_run_bucketed_auto(state, dom, params, n_steps,
+                                                check_every=n_steps)
+            float(state.vel.sum())
+            dev_rate = n_steps / (time.perf_counter() - t0)
         else:
             for _ in range(30):
                 state = step(state)
-        dev_rate, state = _time_steps(state, step, n_steps)
+            dev_rate, state = _time_steps(state, step, n_steps)
         if mode == "bucket" and int(state.buckets.dropped) != 0:
-            print(f"# developed row: {int(state.buckets.dropped)} drops in "
-                  "the timed window (PPC escalation lagged)",
+            print(f"# developed row: {int(state.buckets.dropped)} drops "
+                  "survived the auto runner (CFL violation?)",
                   file=sys.stderr, flush=True)
         dev_base = rec.get(f"flip{res}_dev_steps_per_sec_multicore_est", 0.0)
         print(json.dumps({
             "metric": f"FLIP dam steps/sec @ {res}^3 DEVELOPED state "
-                      f"(30 warm steps, {mode} layout) vs 16-core-CPU "
-                      "reference estimate",
+                      f"(30+ warm steps, {mode} layout, chunked runner) "
+                      "vs 16-core-CPU reference estimate",
             "value": round(dev_rate, 4),
             "unit": "steps/sec",
             "vs_baseline": round(dev_rate / dev_base, 3) if dev_base else 0.0,

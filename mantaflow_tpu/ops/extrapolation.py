@@ -44,19 +44,26 @@ def extrapolate_mac_simple(flags, vel, dom: Domain, distance: int = 4,
     obst = fl.is_obstacle(flags)
     n_comp = 3 if dom.is3d else 2
     comps = [vel[0], vel[1], vel[2]]
+    marks = []
     for c in range(n_comp):
         ax = _AXES[c]
         mark = fluid | shift(fluid, -1, ax)
         if into_obs:
             mark = mark & ~obst & ~shift(obst, -1, ax)
-        tmp = jnp.where(mark & inter, 1, 0).astype(jnp.int32)
-        v = comps[c]
-        for d in range(1, 1 + distance):
-            avg, nbs = _nb_avg(v, tmp, d, dom)
-            upd = (tmp == 0) & (nbs > 0) & inter
-            v = jnp.where(upd, avg, v)
-            tmp = jnp.where(upd, d + 1, tmp)
-        comps[c] = v
+        marks.append(jnp.where(mark & inter, 1, 0).astype(jnp.int32))
+    from .extrapolation_pallas import extrap_layers_pallas, pallas_extrap_ok
+    if n_comp == 3 and pallas_extrap_ok(dom):
+        comps, _ = extrap_layers_pallas(
+            comps, [m.astype(jnp.float32) for m in marks], dom, 1, distance)
+    else:
+        for c in range(n_comp):
+            tmp, v = marks[c], comps[c]
+            for d in range(1, 1 + distance):
+                avg, nbs = _nb_avg(v, tmp, d, dom)
+                upd = (tmp == 0) & (nbs > 0) & inter
+                v = jnp.where(upd, avg, v)
+                tmp = jnp.where(upd, d + 1, tmp)
+            comps[c] = v
     vel = jnp.stack(comps)
     if phi_obs is not None:
         vel = _unproject_normal_comp(flags, vel, phi_obs, dom, distance)
@@ -119,11 +126,19 @@ def extrapolate_mac_from_weight(vel, weight, dom: Domain, distance: int = 2):
     inter = interior_mask(dom, 1)
     n_comp = 3 if dom.is3d else 2
     vcomps = [vel[0], vel[1], vel[2]]
-    wcomps = [weight[0], weight[1], weight[2]]
+    # note: reference only rewrites interior weights; ring keeps raw values
+    wcomps = [jnp.where(inter & (weight[c] > 0.0), 1.0,
+                        jnp.where(inter, 0.0, weight[c]))
+              if c < n_comp else weight[c] for c in range(3)]
+    from .extrapolation_pallas import extrap_layers_pallas, pallas_extrap_ok
+    if n_comp == 3 and pallas_extrap_ok(dom):
+        # the kernel's int-cast marker compare reproduces the float-ring
+        # quirk: a ring weight in [d, d+1) counts as a layer-d neighbor
+        vcomps, wcomps = extrap_layers_pallas(vcomps, wcomps, dom, 1,
+                                              distance)
+        return jnp.stack(vcomps), jnp.stack(wcomps)
     for c in range(n_comp):
-        w = jnp.where(inter & (wcomps[c] > 0.0), 1.0, jnp.where(inter, 0.0, wcomps[c]))
-        # note: reference only rewrites interior weights; ring keeps raw values
-        v = vcomps[c]
+        w, v = wcomps[c], vcomps[c]
         for d in range(1, 1 + distance):
             avg, nbs = _nb_avg(v, w.astype(jnp.int32), d, dom)
             upd = (w == 0.0) & (nbs > 0) & inter
@@ -147,16 +162,23 @@ def extrapolate_ls_simple(phi, dom: Domain, distance: int = 4,
         tmp = jnp.where(init_region & (phi > 0.0), 1, 0)
     tmp = tmp.astype(jnp.int32)
 
-    # first layer: neighbors of the initial region (phi unchanged there)
-    _, nbs = _nb_avg(jnp.zeros_like(phi), tmp, 1, dom)
-    first = (tmp == 0) & (nbs > 0) & inter
-    tmp = jnp.where(first, 2, tmp)
+    from .extrapolation_pallas import extrap_ls_layers_pallas, \
+        pallas_extrap_ok
+    if pallas_extrap_ok(dom):
+        phi, tmpf = extrap_ls_layers_pallas(phi, tmp.astype(jnp.float32),
+                                            dom, direction, distance)
+        tmp = tmpf.astype(jnp.int32)
+    else:
+        # first layer: neighbors of the initial region (phi unchanged)
+        _, nbs = _nb_avg(jnp.zeros_like(phi), tmp, 1, dom)
+        first = (tmp == 0) & (nbs > 0) & inter
+        tmp = jnp.where(first, 2, tmp)
 
-    for d in range(2, 1 + distance):
-        avg, nbs = _nb_avg(phi, tmp, d, dom)
-        upd = (tmp == 0) & (nbs > 0) & inter
-        phi = jnp.where(upd, avg + direction, phi)
-        tmp = jnp.where(upd, d + 1, tmp)
+        for d in range(2, 1 + distance):
+            avg, nbs = _nb_avg(phi, tmp, d, dom)
+            upd = (tmp == 0) & (nbs > 0) & inter
+            phi = jnp.where(upd, avg + direction, phi)
+            tmp = jnp.where(upd, d + 1, tmp)
 
     # remaining cells to max distance (knSetRemaining, bnd=1)
     phi = jnp.where((tmp == 0) & inter, direction * (distance + 2), phi)

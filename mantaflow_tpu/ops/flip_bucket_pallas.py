@@ -59,6 +59,24 @@ def tile_occupancy(valid, dom: Domain, yb: int):
     return jnp.any(jnp.any(occ, axis=0), axis=-1).astype(jnp.int32)
 
 
+def tile_max_count(valid, dom: Domain, yb: int):
+    """(sz, sy//yb) int32: the MAX per-cell occupancy over each tile.
+    Buckets are gap-free per cell (binning and every rebin pass deliver
+    valid slots contiguously from slot 0), so slot rows >= this count are
+    invalid everywhere in the tile — the advection kernel skips whole
+    slot-row CHUNKS per tile on it (round-5 PPC-slack compaction: at the
+    escalated developed-state PPC=16 with ~8 real particles/cell, half of
+    every (P, yb, sx) vector op was padding)."""
+    sz, sy, sx = dom.shape
+    P = valid.shape[0]
+    cnt = jnp.sum(valid.astype(jnp.int32), axis=0)        # (T,) per cell
+    cnt = cnt.reshape(sz, sy // yb, yb * sx)
+    return jnp.max(cnt, axis=-1)
+
+
+_PCHUNK = 4   # slot-chunk height for occupancy skipping (see tile_max_count)
+
+
 def _advect_kernel(sc_ref, occ_ref, *refs, shape, ppc, yb,
                    integration_mode, stop_in_obstacle, ring_only,
                    with_blend, flip_ratio, sz_global=None):
@@ -84,37 +102,44 @@ def _advect_kernel(sc_ref, occ_ref, *refs, shape, ppc, yb,
     slabs = refs[5 + nold + nobs:5 + nold + nobs + n_in]
     outs = refs[5 + nold + nobs + n_in:]
 
+    P = ppc
+    chunks = [(r0, min(r0 + _PCHUNK, P)) for r0 in range(0, P, _PCHUNK)]
     for j in range(sy // yb):        # python loop: y0/static slices per block
         y0 = j * yb
-        px = slabs[0][:, 0, y0:y0 + yb, :]
-        py = slabs[1][:, 0, y0:y0 + yb, :]
-        pz = slabs[2][:, 0, y0:y0 + yb, :]
-        val = slabs[3][:, 0, y0:y0 + yb, :]
-        pv = tuple(slabs[4 + c][:, 0, y0:y0 + yb, :] for c in range(3)) \
-            if with_blend else ()
+        # occ_ref now carries the tile MAX per-cell occupancy
+        # (tile_max_count): slot chunk [r0, r1) has particles iff occ > r0
+        for r0, r1 in chunks:
+            px = slabs[0][r0:r1, 0, y0:y0 + yb, :]
+            py = slabs[1][r0:r1, 0, y0:y0 + yb, :]
+            pz = slabs[2][r0:r1, 0, y0:y0 + yb, :]
+            val = slabs[3][r0:r1, 0, y0:y0 + yb, :]
+            pv = tuple(slabs[4 + c][r0:r1, 0, y0:y0 + yb, :]
+                       for c in range(3)) if with_blend else ()
 
-        @pl.when(occ_ref[kl, j] == 0)
-        def _skip(px=px, py=py, pz=pz, pv=pv, y0=y0):
-            outs[0][:, 0, y0:y0 + yb, :] = px
-            outs[1][:, 0, y0:y0 + yb, :] = py
-            outs[2][:, 0, y0:y0 + yb, :] = pz
-            for c in range(3 if with_blend else 0):
-                outs[3 + c][:, 0, y0:y0 + yb, :] = pv[c]
+            @pl.when(occ_ref[kl, j] <= r0)
+            def _skip(px=px, py=py, pz=pz, pv=pv, y0=y0, r0=r0, r1=r1):
+                outs[0][r0:r1, 0, y0:y0 + yb, :] = px
+                outs[1][r0:r1, 0, y0:y0 + yb, :] = py
+                outs[2][r0:r1, 0, y0:y0 + yb, :] = pz
+                for c in range(3 if with_blend else 0):
+                    outs[3 + c][r0:r1, 0, y0:y0 + yb, :] = pv[c]
 
-        @pl.when(occ_ref[kl, j] > 0)
-        def _compute(px=px, py=py, pz=pz, val=val, pv=pv, y0=y0):
-            _advect_tile(sc_ref, velz, oldz, obsz, px, py, pz, val, pv,
-                         outs, k=kg, y0=y0,
-                         shape=(sz_global, sy, sx), ppc=ppc, yb=yb,
-                         integration_mode=integration_mode,
-                         stop_in_obstacle=stop_in_obstacle,
-                         ring_only=ring_only, with_blend=with_blend,
-                         flip_ratio=flip_ratio)
+            @pl.when(occ_ref[kl, j] > r0)
+            def _compute(px=px, py=py, pz=pz, val=val, pv=pv, y0=y0,
+                         r0=r0, r1=r1):
+                _advect_tile(sc_ref, velz, oldz, obsz, px, py, pz, val, pv,
+                             outs, k=kg, y0=y0, p0=r0,
+                             shape=(sz_global, sy, sx), ppc=r1 - r0, yb=yb,
+                             integration_mode=integration_mode,
+                             stop_in_obstacle=stop_in_obstacle,
+                             ring_only=ring_only, with_blend=with_blend,
+                             flip_ratio=flip_ratio)
 
 
 def _advect_tile(sc_ref, velz, oldz, obsz, px, py, pz, val, pv, outs, *, k,
                  y0, shape, ppc, yb, integration_mode, stop_in_obstacle,
-                 ring_only, with_blend, flip_ratio):
+                 ring_only, with_blend, flip_ratio, p0=0):
+    p1 = p0 + ppc
     sz, sy, sx = shape
     P = ppc
     dt = sc_ref[0]
@@ -215,7 +240,7 @@ def _advect_tile(sc_ref, velz, oldz, obsz, px, py, pz, val, pv, outs, *, k,
         for c in range(3):
             blended = (flip_ratio * (pv[c] + (vnew[c] - vold[c]))
                        + (1.0 - flip_ratio) * vnew[c])
-            outs[3 + c][:, 0, y0:y0 + yb, :] = jnp.where(
+            outs[3 + c][p0:p1, 0, y0:y0 + yb, :] = jnp.where(
                 live & pending, blended, pv[c])
         u0 = to_step(vnew, px, py, pz, 0.0)
     else:
@@ -257,9 +282,9 @@ def _advect_tile(sc_ref, velz, oldz, obsz, px, py, pz, val, pv, outs, *, k,
         ny = jnp.where(in_obs, py * (1.0 - s) + ny * s, ny)
         nz = jnp.where(in_obs, pz * (1.0 - s) + nz * s, nz)
 
-    outs[0][:, 0, y0:y0 + yb, :] = jnp.where(live, nx, px)
-    outs[1][:, 0, y0:y0 + yb, :] = jnp.where(live, ny, py)
-    outs[2][:, 0, y0:y0 + yb, :] = jnp.where(live, nz, pz)
+    outs[0][p0:p1, 0, y0:y0 + yb, :] = jnp.where(live, nx, px)
+    outs[1][p0:p1, 0, y0:y0 + yb, :] = jnp.where(live, ny, py)
+    outs[2][p0:p1, 0, y0:y0 + yb, :] = jnp.where(live, nz, pz)
 
 
 def _shift(a, k: int, axis: int):
@@ -638,7 +663,7 @@ def _advect_call(bk, flags, vel, dt, dom: Domain, integration_mode,
     specs = [pl.BlockSpec(memory_space=pltpu.SMEM),     # (dt, pending)
              pl.BlockSpec(memory_space=pltpu.SMEM)]     # occupancy
     yb = _pick_yb(sy)
-    ins.append(tile_occupancy(bk.valid, dom, yb))
+    ins.append(tile_max_count(bk.valid, dom, yb))
     for dz in range(-2, 3):
         ins.append(velp)
         specs.append(zplane(dz))
