@@ -136,6 +136,8 @@ def bench_flip(res=None, mode=None):
     # length so the timed window reuses the compiled scan program.
     if os.environ.get("BENCH_DEVELOPED", "1") == "1":
         if mode == "bucket":
+            # escalation rounds up to multiples of 8 (models/flip.py
+            # _next_ppc): one 10->16 jump instead of a 14/18 chain
             state = flip.flip_run_bucketed_auto(state, dom, params, 30,
                                                 check_every=n_steps)
             # settle: a chunk that completes at an unchanged PPC proves the

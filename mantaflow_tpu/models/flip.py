@@ -391,6 +391,16 @@ def finalize_buckets(state: FlipBucketState, dom: Domain,
                                blend_pending=jnp.zeros((), jnp.bool_))
 
 
+def _next_ppc(want: int, occ: int) -> int:
+    """Escalation target: smallest multiple of 8 covering both. Measured
+    on v5e @128^3 (round 5, matched state): PPC=18 runs the step 75%
+    slower than PPC=16 — Mosaic handles non-multiple-of-8 slot counts
+    badly — and rounding up also collapses 10->12->14->16 escalation
+    chains (each a minutes-long 128^3 recompile) into one."""
+    need = max(want, occ)
+    return ((need + 7) // 8) * 8
+
+
 @functools.lru_cache(maxsize=8)
 def _jitted_bucket_step(dom: Domain, params: FlipParams):
     return jax.jit(lambda s: flip_step_bucketed(s, dom, params))
@@ -416,8 +426,8 @@ def flip_step_bucketed_auto(state: FlipBucketState, dom: Domain,
         d = int(new.buckets.dropped) - int(prev.buckets.dropped)
         if d == 0:
             return new
-        ppc = max(prev.buckets.ppc + ppc_step,
-                  fb.max_cell_occupancy(prev.buckets, dom))
+        ppc = _next_ppc(prev.buckets.ppc + ppc_step,
+                        fb.max_cell_occupancy(prev.buckets, dom))
         if ppc > max_ppc:
             raise RuntimeError(
                 f"flip_step_bucketed_auto: still dropping {d} particles at "
@@ -459,8 +469,8 @@ def flip_run_bucketed_auto(state: FlipBucketState, dom: Domain,
             state = new
             done += k
             continue
-        ppc = max(state.buckets.ppc + ppc_step,
-                  fb.max_cell_occupancy(state.buckets, dom))
+        ppc = _next_ppc(state.buckets.ppc + ppc_step,
+                         fb.max_cell_occupancy(state.buckets, dom))
         if ppc > max_ppc:
             raise RuntimeError(
                 f"flip_run_bucketed_auto: still dropping {d} particles at "

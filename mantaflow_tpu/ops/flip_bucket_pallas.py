@@ -426,7 +426,10 @@ def _rebin_zpass_kernel(occ_ref, *refs, ppc, sz):
     candidates are (movers down from t+1, stayers of t, movers up from
     t-1), read through three overlapping z-plane BlockSpecs per field, so
     the pass needs NO transposed layout and no ring state — the +-1-plane
-    movement window makes plane t's result local to planes t-1..t+1."""
+    movement window makes plane t's result local to planes t-1..t+1.
+    In-plane columns are independent, so blocks cover a y-slice (grid dim
+    1) — whole (P, sy, sx) plane blocks hit the 100MB scoped-VMEM cap at
+    the escalated PPC=18 (bench OOM, round 5)."""
     ins = refs[:21]          # 7 fields x 3 planes (t+1, t, t-1 order)
     outs = refs[21:]
     t = pl.program_id(0)
@@ -435,14 +438,14 @@ def _rebin_zpass_kernel(occ_ref, *refs, ppc, sz):
     def plane(fi, g):        # g: 0 = t+1, 1 = t, 2 = t-1
         return ins[fi * 3 + g][:, 0]
 
-    @pl.when(occ_ref[t] == 0)
+    @pl.when(occ_ref[t, pl.program_id(1)] == 0)
     def _skip():  # no z-movers near this plane: fields pass through
         for fi in range(7):
             outs[fi][:, 0] = plane(fi, 1)
 
-    @pl.when(occ_ref[t] > 0)
+    @pl.when(occ_ref[t, pl.program_id(1)] > 0)
     def _compute():
-        blk = plane(0, 1).shape                      # (P, sy, sx)
+        blk = plane(0, 1).shape                      # (P, yb, sx)
         ok_hi = (t < sz - 1).astype(jnp.int32)       # plane t+1 exists
         ok_lo = (t > 0).astype(jnp.int32)
         sels, cands = [], [[] for _ in range(6)]
@@ -501,22 +504,28 @@ def _rebin_axis_pallas(bk, dom: Domain, axis: int, interpret: bool = False,
     mv = resh(movers)
 
     if axis == 2:                           # z pass: 3-plane streaming
-        mz = jnp.any(mv, axis=(0, 2, 3))                        # (sz,)
-        occ3 = (mz | jnp.pad(mz[1:], (0, 1)) | jnp.pad(mz[:-1], (1, 0)))
+        yb2 = 32 if sy % 32 == 0 else sy    # y-blocked: VMEM ∝ P*yb2*sx
+        mzb = jnp.any(mv.reshape(P, sz, sy // yb2, yb2 * sx),
+                      axis=(0, 3))                               # (sz, nyb)
+        occ3 = (mzb | jnp.pad(mzb[1:], ((0, 1), (0, 0)))
+                | jnp.pad(mzb[:-1], ((1, 0), (0, 0))))
         occ = occ3.astype(jnp.int32)
+        mz = jnp.any(mzb, axis=1)
 
         def zspec(dz):
             if dz == 0:
-                return pl.BlockSpec((P, 1, sy, sx),
-                                    lambda t: (0, t, 0, 0),
+                return pl.BlockSpec((P, 1, yb2, sx),
+                                    lambda t, j: (0, t, j, 0),
                                     memory_space=pltpu.VMEM)
             if dz == 1:
-                return pl.BlockSpec((P, 1, sy, sx),
-                                    lambda t: (0, jnp.minimum(t + 1, sz - 1),
-                                               0, 0),
+                return pl.BlockSpec((P, 1, yb2, sx),
+                                    lambda t, j: (0,
+                                                  jnp.minimum(t + 1, sz - 1),
+                                                  j, 0),
                                     memory_space=pltpu.VMEM)
-            return pl.BlockSpec((P, 1, sy, sx),
-                                lambda t: (0, jnp.maximum(t - 1, 0), 0, 0),
+            return pl.BlockSpec((P, 1, yb2, sx),
+                                lambda t, j: (0, jnp.maximum(t - 1, 0), j,
+                                              0),
                                 memory_space=pltpu.VMEM)
 
         def run_pass(bk):
@@ -528,12 +537,12 @@ def _rebin_axis_pallas(bk, dom: Domain, axis: int, interpret: bool = False,
                 for dz in (1, 0, -1):       # kernel order: t+1, t, t-1
                     ins.append(f)
                     specs.append(zspec(dz))
-            ospec = pl.BlockSpec((P, 1, sy, sx), lambda t: (0, t, 0, 0),
+            ospec = pl.BlockSpec((P, 1, yb2, sx), lambda t, j: (0, t, j, 0),
                                  memory_space=pltpu.VMEM)
             kern = functools.partial(_rebin_zpass_kernel, ppc=P, sz=sz)
             outs = pl.pallas_call(
                 kern,
-                grid=(sz,),
+                grid=(sz, sy // yb2),
                 in_specs=specs,
                 out_specs=tuple([ospec] * 7),
                 out_shape=tuple(
@@ -563,6 +572,11 @@ def _rebin_axis_pallas(bk, dom: Domain, axis: int, interpret: bool = False,
     else:                                   # y pass: full-y, x-blocked
         pos_idx, ax, n_axis = 1, 2, sy
         xb = sx if sx <= 128 or sx % 128 != 0 else 128
+        # delivery temporaries scale with 3P * sy * xb: halve xb while the
+        # working-set estimate exceeds ~24MB (escalated-PPC VMEM safety;
+        # the z-pass OOM at PPC=18 is the cautionary tale)
+        while xb > 32 and xb % 2 == 0 and 3 * P * sy * xb * 4 > 24 * 2**20:
+            xb //= 2
         blkshape = (P, 1, sy, xb)
         grid = (sz, sx // xb)
         spec = pl.BlockSpec(blkshape, lambda i, j: (0, i, 0, j),
