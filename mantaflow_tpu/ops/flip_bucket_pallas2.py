@@ -43,7 +43,8 @@ from ..core.domain import Domain
 # shared BUILD_INDEX / tap-table helpers (see flip_bucket_pallas note)
 from .flip_bucket import _BIG, _MAC_SHIFTS, _T0_CROSS, _T0_OWN, _axw
 from .flip_bucket import _tap_weights as _tapw
-from .flip_bucket_pallas import _PAD, _pick_yb, tile_occupancy
+from .flip_bucket_pallas import (_PAD, _PCHUNK, _pick_yb, tile_max_count,
+                                 tile_occupancy)
 
 
 def _place(rows, y0, dy, sy):
@@ -425,75 +426,82 @@ def _p2g_ls_kernel(sc_ref, occ_ref, px_ref, py_ref, pz_ref, vx_ref, vy_ref,
         wacc_ref[...] = jnp.zeros_like(wacc_ref)
         d2_ref[...] = jnp.full_like(d2_ref, _BIG)
 
+    chunks = [(r0, min(r0 + _PCHUNK, P)) for r0 in range(0, P, _PCHUNK)]
     for j in range(sy // yb):
         y0 = j * yb
 
-        @pl.when(occ_ref[t, j] > 0)   # padded row sz is 0: no work at t==sz
-        def _accum(y0=y0):
-            px = px_ref[:, 0, y0:y0 + yb, :]
-            py = py_ref[:, 0, y0:y0 + yb, :]
-            pz = pz_ref[:, 0, y0:y0 + yb, :]
-            af = val_ref[:, 0, y0:y0 + yb, :]
-            valid = af > 0.5
-            pvel = (vx_ref[:, 0, y0:y0 + yb, :],
-                    vy_ref[:, 0, y0:y0 + yb, :],
-                    vz_ref[:, 0, y0:y0 + yb, :])
-            cxi = jax.lax.broadcasted_iota(jnp.int32, (P, yb, sx), 2)
-            cyi = jax.lax.broadcasted_iota(jnp.int32, (P, yb, sx), 1) + y0
+        # occ_ref carries the tile MAX per-cell occupancy (tile_max_count,
+        # gap-free buckets): slot chunk [r0, r1) is empty when occ <= r0.
+        # Padded row sz is 0: no work at t==sz.
+        for r0, r1 in chunks:
+            @pl.when(occ_ref[t, j] > r0)
+            def _accum(y0=y0, r0=r0, r1=r1):
+                PC = r1 - r0
+                px = px_ref[r0:r1, 0, y0:y0 + yb, :]
+                py = py_ref[r0:r1, 0, y0:y0 + yb, :]
+                pz = pz_ref[r0:r1, 0, y0:y0 + yb, :]
+                af = val_ref[r0:r1, 0, y0:y0 + yb, :]
+                valid = af > 0.5
+                pvel = (vx_ref[r0:r1, 0, y0:y0 + yb, :],
+                        vy_ref[r0:r1, 0, y0:y0 + yb, :],
+                        vz_ref[r0:r1, 0, y0:y0 + yb, :])
+                cxi = jax.lax.broadcasted_iota(jnp.int32, (PC, yb, sx), 2)
+                cyi = jax.lax.broadcasted_iota(jnp.int32, (PC, yb, sx),
+                                               1) + y0
 
-            # --- p2g (mapPartsToMAC) ---
-            for c in range(3):
-                ox, oy, oz = _MAC_SHIFTS[c]
-                bx, wx1 = _axw(px - ox, sx)
-                by, wy1 = _axw(py - oy, sy)
-                bz, wz1 = _axw(pz - oz, sz_global)
-                tx = _T0_OWN if c == 0 else _T0_CROSS
-                ty = _T0_OWN if c == 1 else _T0_CROSS
-                tz = _T0_OWN if c == 2 else _T0_CROSS
-                wx = _tapw(bx - cxi, wx1, tx)
-                wy = _tapw(by - cyi, wy1, ty)
-                wz = _tapw(bz - tg, wz1, tz)
-                vc = pvel[c]
-                for iz, dz in enumerate(tz):
+                # --- p2g (mapPartsToMAC) ---
+                for c in range(3):
+                    ox, oy, oz = _MAC_SHIFTS[c]
+                    bx, wx1 = _axw(px - ox, sx)
+                    by, wy1 = _axw(py - oy, sy)
+                    bz, wz1 = _axw(pz - oz, sz_global)
+                    tx = _T0_OWN if c == 0 else _T0_CROSS
+                    ty = _T0_OWN if c == 1 else _T0_CROSS
+                    tz = _T0_OWN if c == 2 else _T0_CROSS
+                    wx = _tapw(bx - cxi, wx1, tx)
+                    wy = _tapw(by - cyi, wy1, ty)
+                    wz = _tapw(bz - tg, wz1, tz)
+                    vc = pvel[c]
+                    for iz, dz in enumerate(tz):
+                        sl = dz + 1
+                        for iy, dy in enumerate(ty):
+                            w_rows = jnp.zeros((yb, sx), jnp.float32)
+                            a_rows = jnp.zeros((yb, sx), jnp.float32)
+                            wzy = wz[iz] * wy[iy] * af
+                            for ix, dx in enumerate(tx):
+                                w = wzy * wx[ix]
+                                w_rows = w_rows + _shiftx(jnp.sum(w, axis=0), dx)
+                                a_rows = a_rows + _shiftx(
+                                    jnp.sum(w * vc, axis=0), dx)
+                            dst, src, n = _place(yb, y0, dy, sy)
+                            if n <= 0:
+                                continue
+                            r = sl * 3 + c
+                            acc_ref[r, dst:dst + n] = \
+                                acc_ref[r, dst:dst + n] + a_rows[src:src + n]
+                            wacc_ref[r, dst:dst + n] = \
+                                wacc_ref[r, dst:dst + n] + w_rows[src:src + n]
+
+                # --- union levelset (rw == 1) ---
+                ex = jnp.where(valid, px - (cxi.astype(jnp.float32) + 0.5), 0.0)
+                ey = jnp.where(valid, py - (cyi.astype(jnp.float32) + 0.5), 0.0)
+                ez = jnp.where(valid, pz - (tg + 0.5), 0.0)
+                r2 = ex * ex + ey * ey + ez * ez
+                for dz in (-1, 0, 1):
                     sl = dz + 1
-                    for iy, dy in enumerate(ty):
-                        w_rows = jnp.zeros((yb, sx), jnp.float32)
-                        a_rows = jnp.zeros((yb, sx), jnp.float32)
-                        wzy = wz[iz] * wy[iy] * af
-                        for ix, dx in enumerate(tx):
-                            w = wzy * wx[ix]
-                            w_rows = w_rows + _shiftx(jnp.sum(w, axis=0), dx)
-                            a_rows = a_rows + _shiftx(
-                                jnp.sum(w * vc, axis=0), dx)
-                        dst, src, n = _place(yb, y0, dy, sy)
-                        if n <= 0:
+                    for dy in (-1, 0, 1):
+                        rows = None
+                        for dx in (-1, 0, 1):
+                            c2 = float(dx * dx + dy * dy + dz * dz)
+                            d2 = r2 - 2.0 * (ex * dx + ey * dy + ez * dz) + c2
+                            part = jnp.min(jnp.where(valid, d2, big), axis=0)
+                            sh = _shiftx(part, dx, fill=big)
+                            rows = sh if rows is None else jnp.minimum(rows, sh)
+                        dst, src, cnt = _place(yb, y0, dy, sy)
+                        if cnt <= 0:
                             continue
-                        r = sl * 3 + c
-                        acc_ref[r, dst:dst + n] = \
-                            acc_ref[r, dst:dst + n] + a_rows[src:src + n]
-                        wacc_ref[r, dst:dst + n] = \
-                            wacc_ref[r, dst:dst + n] + w_rows[src:src + n]
-
-            # --- union levelset (rw == 1) ---
-            ex = jnp.where(valid, px - (cxi.astype(jnp.float32) + 0.5), 0.0)
-            ey = jnp.where(valid, py - (cyi.astype(jnp.float32) + 0.5), 0.0)
-            ez = jnp.where(valid, pz - (tg + 0.5), 0.0)
-            r2 = ex * ex + ey * ey + ez * ez
-            for dz in (-1, 0, 1):
-                sl = dz + 1
-                for dy in (-1, 0, 1):
-                    rows = None
-                    for dx in (-1, 0, 1):
-                        c2 = float(dx * dx + dy * dy + dz * dz)
-                        d2 = r2 - 2.0 * (ex * dx + ey * dy + ez * dz) + c2
-                        part = jnp.min(jnp.where(valid, d2, big), axis=0)
-                        sh = _shiftx(part, dx, fill=big)
-                        rows = sh if rows is None else jnp.minimum(rows, sh)
-                    dst, src, cnt = _place(yb, y0, dy, sy)
-                    if cnt <= 0:
-                        continue
-                    d2_ref[sl, dst:dst + cnt] = jnp.minimum(
-                        d2_ref[sl, dst:dst + cnt], rows[src:src + cnt])
+                        d2_ref[sl, dst:dst + cnt] = jnp.minimum(
+                            d2_ref[sl, dst:dst + cnt], rows[src:src + cnt])
 
     @pl.when(t >= 1)
     def _emit():  # plane t-1 (slot 0) is complete for all three outputs
@@ -529,7 +537,7 @@ def p2g_union_pallas(bk, dom: Domain, radius_factor: float = 1.0,
         return a.reshape(P, sz, sy, sx)
 
     yb = _pick_yb(sy)
-    occ = jnp.pad(tile_occupancy(bk.valid, dom, yb), ((0, 1), (0, 0)))
+    occ = jnp.pad(tile_max_count(bk.valid, dom, yb), ((0, 1), (0, 0)))
     slab = pl.BlockSpec((P, 1, sy, sx),
                         lambda t: (0, jnp.minimum(t, sz - 1), 0, 0),
                         memory_space=pltpu.VMEM)
@@ -606,7 +614,7 @@ def p2g_union_zshard_spmd(bk, dom: Domain, radius_factor: float,
                for a in (px, py, pz, vx, vy, vz, validf)]
         ext_dom = Domain(size=(sx, sy, lze), dim=3)
         yb = _pick_yb(sy)
-        occ = jnp.pad(tile_occupancy(
+        occ = jnp.pad(tile_max_count(
             (ext[6] > 0.5).reshape(Pp, lze * sy * sx), ext_dom, yb),
             ((0, 1), (0, 0)))
         slab = pl.BlockSpec((Pp, 1, sy, sx),
