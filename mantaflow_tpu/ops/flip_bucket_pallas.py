@@ -366,14 +366,15 @@ def _ranked_deliver(cand, mark, P):
     return cand, total
 
 
-def _rebin_pass_tile(ins, outs, *, pos_idx, n_axis, ppc, ax):
-    """Stack the three candidate groups (movers-from-right, stayers,
-    movers-from-left — arrival order) in the DESTINATION frame along the
-    pass axis ``ax``, then _ranked_deliver them into the P output slots."""
+def _pass_compact(fields, validf, *, pos_idx, n_axis, ax, ppc):
+    """Pure-array single-axis compaction: stack the three candidate groups
+    (movers-from-right, stayers, movers-from-left — arrival order) in the
+    DESTINATION frame along axis ``ax``, then _ranked_deliver them into the
+    P output slots. Returns (fields', validf'); invalid output slots hold
+    stale candidate values (callers park them once, in _finish_pass)."""
     P = ppc
-    blk = ins[0].shape
-    fields = [r[...] for r in ins[:6]]
-    valid = ins[6][...] > 0.5
+    blk = fields[0].shape
+    valid = validf > 0.5
 
     cax = jax.lax.broadcasted_iota(jnp.int32, blk, ax)
     p_axis = fields[pos_idx]
@@ -398,9 +399,17 @@ def _rebin_pass_tile(ins, outs, *, pos_idx, n_axis, ppc, ax):
     cand, total = _ranked_deliver(cand, mark, P)
     sidx = jax.lax.broadcasted_iota(jnp.int32, blk, 0)
     new_valid = sidx < total                              # first-`total` slots
+    return [c[:P] for c in cand], new_valid.astype(jnp.float32)
+
+
+def _rebin_pass_tile(ins, outs, *, pos_idx, n_axis, ppc, ax):
+    """Ref-based wrapper over _pass_compact for the single-axis kernels."""
+    fields = [r[...] for r in ins[:6]]
+    nf, nv = _pass_compact(fields, ins[6][...], pos_idx=pos_idx,
+                           n_axis=n_axis, ax=ax, ppc=ppc)
     for fi, o in enumerate(outs[:6]):
-        o[...] = cand[fi][:P]
-    outs[6][...] = new_valid.astype(jnp.float32)
+        o[...] = nf[fi]
+    outs[6][...] = nv
 
 
 def _park_invalid(outs, new_valid, dom, z_base=None):
@@ -470,6 +479,101 @@ def _rebin_zpass_kernel(occ_ref, *refs, ppc, sz):
         outs[6][:, 0] = (sidx < total).astype(jnp.float32)
 
 
+def _rebin_zpass_stream_kernel(occ_ref, *refs, ppc, sz, yb):
+    """z rebin pass with ONE plane read per field per grid step: the
+    3-overlapping-BlockSpec form (_rebin_zpass_kernel) reads every (PPC,
+    plane) slab three times (~1.9 GB of redundant HBM reads per pass at
+    128^3 PPC=16); here the previous two planes live in a fixed-role VMEM
+    scratch ring (row fi*2: plane t-1, row fi*2+1: plane t-2) rotated by
+    static-index VMEM copies at the end of each step (the p2g pattern —
+    Mosaic requires static scratch indices). Step t emits output plane
+    t-1 from (incoming plane t, scratch t-1, scratch t-2); at t == sz the
+    input spec's clamped re-read of plane sz-1 is masked by ok_hi."""
+    ins, outs, scr = refs[:7], refs[7:14], refs[14]
+    P = ppc
+    t = pl.program_id(0)
+    sy, sx = ins[0].shape[2], ins[0].shape[3]
+
+    @pl.when(t == 0)
+    def _init():   # planes -1 and -2 are empty
+        scr[...] = jnp.zeros_like(scr)
+
+    k = t - 1
+    kc = jnp.maximum(k, 0)
+    ok_hi = ((k < sz - 1) & (t < sz)).astype(jnp.int32)  # plane k+1 usable
+    ok_lo = (k > 0).astype(jnp.int32)
+
+    @pl.when(t >= 1)
+    def _emit():
+        for j in range(sy // yb):
+            y0 = j * yb
+
+            @pl.when(occ_ref[kc, j] == 0)
+            def _skip(y0=y0):  # no z-movers near this tile: pass-through
+                for fi in range(7):
+                    outs[fi][:, 0, y0:y0 + yb, :] = \
+                        scr[fi * 2, :, y0:y0 + yb, :]
+
+            @pl.when(occ_ref[kc, j] > 0)
+            def _comp(y0=y0):
+                # candidate groups in arrival order: movers down from k+1
+                # (the incoming block), stayers of k (slot A), movers up
+                # from k-1 (slot B) — _rebin_zpass_kernel semantics
+                srcs = (
+                    ([ins[fi][:, 0, y0:y0 + yb, :] for fi in range(6)],
+                     ins[6][:, 0, y0:y0 + yb, :], k + 1, -1, ok_hi),
+                    ([scr[fi * 2, :, y0:y0 + yb, :] for fi in range(6)],
+                     scr[12, :, y0:y0 + yb, :], k, 0, jnp.int32(1)),
+                    ([scr[fi * 2 + 1, :, y0:y0 + yb, :] for fi in range(6)],
+                     scr[13, :, y0:y0 + yb, :], k - 1, 1, ok_lo),
+                )
+                sels, cands = [], [[] for _ in range(6)]
+                for fields, validf, s_src, d, ok in srcs:
+                    pzi = fields[2].astype(jnp.int32)
+                    e = jnp.clip(pzi - s_src, -1, 1)
+                    tgt = s_src + e
+                    e = jnp.where((tgt < 0) | (tgt >= sz), 0, e)
+                    sel = jnp.where(validf > 0.5,
+                                    (e == d).astype(jnp.int32), 0) * ok
+                    sels.append(sel)
+                    for fi in range(6):
+                        cands[fi].append(fields[fi])
+                mark = jnp.concatenate(sels, axis=0)
+                cand = [jnp.concatenate(c, axis=0) for c in cands]
+                cand, total = _ranked_deliver(cand, mark, P)
+                sidx = jax.lax.broadcasted_iota(jnp.int32, (P, yb, sx), 0)
+                for fi in range(6):
+                    outs[fi][:, 0, y0:y0 + yb, :] = cand[fi][:P]
+                outs[6][:, 0, y0:y0 + yb, :] = \
+                    (sidx < total).astype(jnp.float32)
+
+    # rotate: B <- A, A <- incoming plane t (skipped on the final step —
+    # it must not pollute A with the clamped re-read of plane sz-1)
+    @pl.when(t < sz)
+    def _rot():
+        for fi in range(7):
+            scr[fi * 2 + 1] = scr[fi * 2]
+            scr[fi * 2] = ins[fi][:, 0]
+
+
+def _z_streamable(P: int, dom: Domain, yb: int) -> bool:
+    """Opt-in (MANTA_REBIN_ZSTREAM=1) + VMEM gate for the streaming z
+    pass: 14 scratch planes + 14 blocks (double-buffered) + the
+    ranked-deliver temporaries. Measured on v5e @128^3 dev PPC=16 (round
+    5): 6.84 ms vs the 3-BlockSpec form's 5.7-6.8 (run-to-run spread) —
+    the ring-rotation VMEM copies (14 planes/step) eat roughly what the
+    deleted redundant-but-pipelined HBM re-reads cost, so the simpler
+    3-spec kernel stays the default; the streaming form is kept as the
+    lower-HBM-pressure alternative (useful when HBM is contended, e.g.
+    overlapping collectives)."""
+    import os as _os
+    if _os.environ.get("MANTA_REBIN_ZSTREAM", "") != "1":
+        return False
+    sz, sy, sx = dom.shape
+    est = 14 * P * sy * sx * 4 * 3 + 36 * P * yb * sx * 4
+    return est < 80 * 2**20
+
+
 def _axis_movers(bk, dom: Domain, axis: int):
     """(P, T) bool: valid slots whose truncated pass-axis coordinate leaves
     the bucket cell (with the border force-stay clamp) — exactly the slots
@@ -528,7 +632,37 @@ def _rebin_axis_pallas(bk, dom: Domain, axis: int, interpret: bool = False,
                                               0),
                                 memory_space=pltpu.VMEM)
 
+        def run_pass_stream(bk):
+            fields = [resh(bk.px), resh(bk.py), resh(bk.pz), resh(bk.vx),
+                      resh(bk.vy), resh(bk.vz),
+                      resh(bk.valid.astype(jnp.float32))]
+            islab = pl.BlockSpec((P, 1, sy, sx),
+                                 lambda t: (0, jnp.minimum(t, sz - 1), 0, 0),
+                                 memory_space=pltpu.VMEM)
+            oslab = pl.BlockSpec((P, 1, sy, sx),
+                                 lambda t: (0, jnp.maximum(t - 1, 0), 0, 0),
+                                 memory_space=pltpu.VMEM)
+            kern = functools.partial(_rebin_zpass_stream_kernel, ppc=P,
+                                     sz=sz, yb=yb2)
+            outs = pl.pallas_call(
+                kern,
+                grid=(sz + 1,),
+                in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+                         + [islab] * 7,
+                out_specs=tuple([oslab] * 7),
+                out_shape=tuple(
+                    jax.ShapeDtypeStruct((P, sz, sy, sx), jnp.float32)
+                    for _ in range(7)),
+                scratch_shapes=[pltpu.VMEM((14, P, sy, sx), jnp.float32)],
+                compiler_params=None if interpret else pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024),
+                interpret=interpret,
+            )(occ, *fields)
+            return _finish_pass(bk, outs, dom, z_base)
+
         def run_pass(bk):
+            if _z_streamable(P, dom, yb2):
+                return run_pass_stream(bk)
             fields = [resh(bk.px), resh(bk.py), resh(bk.pz), resh(bk.vx),
                       resh(bk.vy), resh(bk.vz),
                       resh(bk.valid.astype(jnp.float32))]
@@ -607,6 +741,123 @@ def _rebin_axis_pallas(bk, dom: Domain, axis: int, interpret: bool = False,
     return jax.lax.cond(jnp.any(movers), run_pass, lambda b: b, bk)
 
 
+def _rebin_xy_kernel(occx_ref, occy_ref, *refs, ppc, sy, sx, yb, xb):
+    """Fused x+y rebin passes for one z-plane: both are plane-local, so one
+    kernel does both compactions with a SINGLE HBM round trip over the 7
+    bucket fields (the 3-pass form pays a full read+write of ~2x7x(PPC,T)
+    per pass — at 128^3 PPC=16 that's ~1.9 GB ≈ 2 ms of pure bandwidth the
+    fusion deletes). Stage 1 x-compacts each y-block from ins into outs
+    (occx skip: VMEM pass-through copy); stage 2 y-compacts each x-block of
+    outs IN PLACE (occy skip: no work at all). occy is computed on the
+    x-DILATED pre-pass y-mover columns, because the x stage can carry a
+    y-mover one cell across an x-block boundary."""
+    ins, outs = refs[:7], refs[7:]
+    P = ppc
+    k = pl.program_id(0)
+
+    for j in range(sy // yb):            # stage 1: x pass, ins -> outs
+        y0 = j * yb
+
+        @pl.when(occx_ref[k, j] == 0)
+        def _copy(y0=y0):
+            for i, o in zip(ins, outs):
+                o[:, 0, y0:y0 + yb, :] = i[:, 0, y0:y0 + yb, :]
+
+        @pl.when(occx_ref[k, j] > 0)
+        def _cx(y0=y0):
+            fields = [ins[fi][:, 0, y0:y0 + yb, :] for fi in range(6)]
+            nf, nv = _pass_compact(fields, ins[6][:, 0, y0:y0 + yb, :],
+                                   pos_idx=0, n_axis=sx, ax=2, ppc=P)
+            for fi in range(6):
+                outs[fi][:, 0, y0:y0 + yb, :] = nf[fi]
+            outs[6][:, 0, y0:y0 + yb, :] = nv
+
+    for i in range(sx // xb):            # stage 2: y pass, outs in place
+        x0 = i * xb
+
+        @pl.when(occy_ref[k, i] > 0)
+        def _cy(x0=x0):
+            fields = [outs[fi][:, 0, :, x0:x0 + xb] for fi in range(6)]
+            nf, nv = _pass_compact(fields, outs[6][:, 0, :, x0:x0 + xb],
+                                   pos_idx=1, n_axis=sy, ax=1, ppc=P)
+            for fi in range(6):
+                outs[fi][:, 0, :, x0:x0 + xb] = nf[fi]
+            outs[6][:, 0, :, x0:x0 + xb] = nv
+
+
+def _xy_block_sizes(P: int, sy: int, sx: int):
+    """(yb, xb) for the fused xy kernel — same policies as the standalone
+    x/y passes (x: ~4MB of delivery temporaries; y: <=24MB working set)."""
+    yb = 8
+    while sy % (2 * yb) == 0 and P * 2 * yb * sx * 4 * 30 < 4 * 2**20:
+        yb *= 2
+    if sy % yb != 0:
+        yb = sy
+    xb = sx if sx <= 128 or sx % 128 != 0 else 128
+    while xb > 32 and xb % 2 == 0 and 3 * P * sy * xb * 4 > 24 * 2**20:
+        xb //= 2
+    return yb, xb
+
+
+def _xy_fusable(P: int, dom: Domain) -> bool:
+    """The fused kernel holds full (P, sy, sx) planes of all 7 fields in
+    VMEM twice (in + out, double-buffered) plus the y-stage delivery
+    temporaries — gate on a conservative estimate against the 100MB cap
+    (escalated-PPC safety; the z-pass OOM at PPC=18 is the precedent)."""
+    sz, sy, sx = dom.shape
+    _, xb = _xy_block_sizes(P, sy, sx)
+    est = 14 * P * sy * sx * 4 * 2 + 12 * 3 * P * sy * xb * 4
+    return est < 80 * 2**20
+
+
+def _rebin_xy_pallas(bk, dom: Domain, interpret: bool = False, z_base=None):
+    """Fused x+y rebin passes (see _rebin_xy_kernel); drop-in for the
+    axis-0 + axis-1 _rebin_axis_pallas sequence, one _finish_pass."""
+    sz, sy, sx = dom.shape
+    P, T = bk.ppc, bk.ncells
+    yb, xb = _xy_block_sizes(P, sy, sx)
+
+    def resh(a):
+        return a.reshape(P, sz, sy, sx)
+
+    mvx = resh(_axis_movers(bk, dom, 0))
+    mvy = resh(_axis_movers(bk, dom, 1))
+    occx = jnp.any(mvx.reshape(P, sz, sy // yb, yb * sx),
+                   axis=(0, 3)).astype(jnp.int32)
+    # x moves carry slots +-1 cell along x: dilate the y-mover columns so
+    # an x-block-boundary crosser still lights its destination block
+    coly = jnp.any(mvy, axis=(0, 2))                       # (sz, sx)
+    coly = (coly | jnp.pad(coly[:, 1:], ((0, 0), (0, 1)))
+            | jnp.pad(coly[:, :-1], ((0, 0), (1, 0))))
+    occy = jnp.any(coly.reshape(sz, sx // xb, xb),
+                   axis=2).astype(jnp.int32)
+
+    def run_pass(bk):
+        kern = functools.partial(_rebin_xy_kernel, ppc=P, sy=sy, sx=sx,
+                                 yb=yb, xb=xb)
+        ins = [resh(bk.px), resh(bk.py), resh(bk.pz), resh(bk.vx),
+               resh(bk.vy), resh(bk.vz), resh(bk.valid.astype(jnp.float32))]
+        slab = pl.BlockSpec((P, 1, sy, sx), lambda k: (0, k, 0, 0),
+                            memory_space=pltpu.VMEM)
+        outs = pl.pallas_call(
+            kern,
+            grid=(sz,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+                     + [slab] * 7,
+            out_specs=tuple([slab] * 7),
+            out_shape=tuple(jax.ShapeDtypeStruct((P, sz, sy, sx),
+                                                 jnp.float32)
+                            for _ in range(7)),
+            compiler_params=None if interpret else pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(occx, occy, *ins)
+        return _finish_pass(bk, outs, dom, z_base)
+
+    return jax.lax.cond(jnp.any(occx > 0) | jnp.any(occy > 0),
+                        run_pass, lambda b: b, bk)
+
+
 def _finish_pass(bk, outs, dom: Domain, z_base=None):
     """Flatten pass outputs, park invalid slots, account drops."""
     P, T = bk.ppc, bk.ncells
@@ -622,10 +873,15 @@ def _finish_pass(bk, outs, dom: Domain, z_base=None):
 
 
 def rebin_pallas(bk, dom: Domain, interpret: bool = False):
-    """Pallas rebin: three axis passes, the pass axis transposed last and
-    fully VMEM-resident per block. Drop-in for flip_bucket.rebin."""
-    bk = _rebin_axis_pallas(bk, dom, 0, interpret)
-    bk = _rebin_axis_pallas(bk, dom, 1, interpret)
+    """Pallas rebin, natural (P, z, y, x) layout throughout: the plane-local
+    x+y passes fused into one kernel (one HBM round trip instead of two,
+    VMEM permitting — _xy_fusable), then the 3-plane streaming z pass.
+    Drop-in for flip_bucket.rebin."""
+    if _xy_fusable(bk.ppc, dom):
+        bk = _rebin_xy_pallas(bk, dom, interpret)
+    else:
+        bk = _rebin_axis_pallas(bk, dom, 0, interpret)
+        bk = _rebin_axis_pallas(bk, dom, 1, interpret)
     bk = _rebin_axis_pallas(bk, dom, 2, interpret)
     return bk
 
@@ -1184,8 +1440,13 @@ def rebin_zshard_spmd(bk, dom: Domain, mesh, axis_name: str = "z"):
         zb = jax.lax.axis_index(axis_name) * lz
         bk_l = Buckets(px=px, py=py, pz=pz, vx=vx, vy=vy, vz=vz,
                        valid=validf > 0.5, dropped=jnp.int32(0))
-        bk_l = _rebin_axis_pallas(bk_l, local_dom, 0, interpret, z_base=zb)
-        bk_l = _rebin_axis_pallas(bk_l, local_dom, 1, interpret, z_base=zb)
+        if _xy_fusable(bk_l.ppc, local_dom):
+            bk_l = _rebin_xy_pallas(bk_l, local_dom, interpret, z_base=zb)
+        else:
+            bk_l = _rebin_axis_pallas(bk_l, local_dom, 0, interpret,
+                                      z_base=zb)
+            bk_l = _rebin_axis_pallas(bk_l, local_dom, 1, interpret,
+                                      z_base=zb)
         bk_l = _rebin_z_sharded(bk_l, local_dom, zb, sz, axis_name, n,
                                 interpret)
         dropped = jax.lax.psum(bk_l.dropped, axis_name)

@@ -131,10 +131,11 @@ if stages & {"pressure", "all"}:
             flags, xtr.extrapolate_mac_from_weight(
                 v, jnp.abs(v) + 0.5, dom, 2)[0], dom, 4)), vel)
 
-if stages & {"rebin", "all"} and on_tpu:
+if stages & {"rebin", "rebinp", "all"} and on_tpu:
     from mantaflow_tpu.ops import flip_bucket_pallas as fbp
     bench("rebin_pallas", jax.jit(lambda b: fbp.rebin_pallas(b, dom)), bk)
-    bench("rebin_xla(sort)", jax.jit(lambda b: fb.rebin(b, dom)), bk)
+    if stages & {"rebin", "all"}:
+        bench("rebin_xla(sort)", jax.jit(lambda b: fb.rebin(b, dom)), bk)
 
 if stages & {"p2g", "all"}:
     from mantaflow_tpu.ops import flip_bucket_pallas2 as fbp2
